@@ -1,0 +1,91 @@
+"""Array-backend shim: the codec core runs identically under numpy (host
+fallback, small buffers, tests) and jax.numpy (jit/TPU path).
+
+Only the handful of primitives that differ between the two APIs live here;
+everything else in ops/ is written against ``B.xp``.
+"""
+import numpy as _np
+
+
+class NumpyBackend:
+    name = "numpy"
+    xp = _np
+
+    @staticmethod
+    def cummax(a, axis):
+        return _np.maximum.accumulate(a, axis=axis)
+
+    @staticmethod
+    def cummin_rev(a, axis):
+        """Reverse (suffix) cumulative minimum along axis."""
+        return _np.flip(_np.minimum.accumulate(_np.flip(a, axis), axis=axis), axis)
+
+    @staticmethod
+    def cumsum_u32(a, axis=None):
+        # numpy would promote uint32 sums to uint64; keep u32 wrap semantics
+        return _np.cumsum(a, axis=axis, dtype=_np.uint32)
+
+    @staticmethod
+    def scatter_add_u32(target_len, idx1, c1, idx2, c2):
+        out = _np.zeros(target_len, dtype=_np.uint32)
+        _np.add.at(out, idx1, c1)
+        _np.add.at(out, idx2, c2)
+        return out
+
+    @staticmethod
+    def prefix_compose(maps):
+        """Inclusive prefix composition of int32 maps [N, K]:
+        out[b] = maps[b] ∘ maps[b-1] ∘ ... ∘ maps[0] (applied right-to-left),
+        i.e. out[b][i] = maps[b][ out[b-1][i] ].  Log-doubling."""
+        P = maps.copy()
+        n = P.shape[0]
+        s = 1
+        while s < n:
+            P[s:] = _np.take_along_axis(P[s:], P[:-s], axis=-1)
+            s *= 2
+        return P
+
+
+class JaxBackend:
+    name = "jax"
+
+    def __init__(self):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax = jax
+        self.xp = jnp
+
+    def cummax(self, a, axis):
+        return self._jax.lax.cummax(a, axis=axis)
+
+    def cummin_rev(self, a, axis):
+        return self._jax.lax.cummin(a, axis=axis, reverse=True)
+
+    def cumsum_u32(self, a, axis=None):
+        return self.xp.cumsum(a, axis=axis, dtype=self.xp.uint32)
+
+    def scatter_add_u32(self, target_len, idx1, c1, idx2, c2):
+        out = self.xp.zeros(target_len, dtype=self.xp.uint32)
+        out = out.at[idx1].add(c1, indices_are_sorted=True, mode="drop")
+        out = out.at[idx2].add(c2, indices_are_sorted=True, mode="drop")
+        return out
+
+    def prefix_compose(self, maps):
+        jnp = self.xp
+
+        def combine(a, b):
+            return jnp.take_along_axis(b, a, axis=-1)
+
+        return self._jax.lax.associative_scan(combine, maps, axis=0)
+
+
+NUMPY = NumpyBackend()
+_JAX = None
+
+
+def jax_backend():
+    global _JAX
+    if _JAX is None:
+        _JAX = JaxBackend()
+    return _JAX

@@ -1,0 +1,159 @@
+"""Encoder orchestration: array in -> CCSDS 121.0-B-2 bitstream out.
+
+Pipeline (all stages data-parallel over blocks; see ops/ for the per-stage
+TPU reformulations of the reference's FSM encoder, encode.c:467-754):
+
+  bytes -> u32 samples -> Δ-preprocess -> zero-run segmentation
+        -> vectorised k-search (+ associative warm-start chain)
+        -> option selection -> field expansion -> parallel bit pack
+
+Host-side state carried between chunks: the running split position k
+(reference: state->k, encode.c:369/407), the bit cursor modulo 8 and the
+shared boundary byte.  Chunks are always whole numbers of RSIs, which the
+format guarantees to be safe cut points (predictor and zero-run state never
+cross an RSI; encode.c:252-254, 649-655).
+"""
+import numpy as np
+
+from . import backend as _backend
+from .config import Config
+from .ops import accessors, bitpack, fields, options, preprocess, zeroruns
+
+
+def encode_blocks_core(B, cfg, x, nb, k_init, bit0):
+    """Encode a uniform batch of RSIs.
+
+    x: u32 [n_rsi, nb*bs] samples (tail RSI already padded to whole blocks);
+    nb: blocks per RSI (== cfg.rsi except for a short trailing RSI);
+    k_init: incoming warm-start k; bit0: bit cursor modulo 8.
+
+    Returns (packed u8 bytes incl. partial boundary bytes, total_bits,
+    k_final).
+    """
+    xp = B.xp
+    u32 = xp.uint32
+    bs = cfg.block_size
+    n_rsi = x.shape[0]
+    NB = n_rsi * nb
+
+    if cfg.preprocess:
+        d, ref_samples = preprocess.delta_map(xp, x, cfg)
+    else:
+        d, ref_samples = x, xp.zeros(n_rsi, dtype=u32)
+
+    d_blk = d.reshape(NB, bs)
+    b_in_rsi = xp.broadcast_to(
+        xp.arange(nb, dtype=xp.int32)[None, :], (n_rsi, nb))
+
+    # block metadata
+    ref = (b_in_rsi == 0).reshape(NB) if cfg.preprocess else xp.zeros(
+        NB, dtype=bool)
+    refu = ref.astype(u32)
+    this_bs = u32(bs) - refu
+    ub = (u32(bs) - refu) * u32(cfg.bits_per_sample)  # uncomp_len per block
+    ref_sample_blk = xp.broadcast_to(ref_samples[:, None], (n_rsi, nb)).reshape(NB)
+
+    # zero blocks and run segmentation
+    z2 = (d_blk == 0).all(axis=-1).reshape(n_rsi, nb)
+    zinfo = zeroruns.zero_run_info(B, z2, nb, cfg.preprocess)
+    is_zero = z2.reshape(NB)
+    zero_emit = zinfo["emit"].reshape(NB)
+    zero_fsval = zinfo["fsval"].reshape(NB)
+    zero_ref = zinfo["zero_ref"].reshape(NB)
+
+    # k-search
+    if cfg.id_len > 1:
+        Fhi, Flo = options.fs_tables(xp, d_blk)
+        Lhi, Llo = options.split_len_pairs(xp, Fhi, Flo, this_bs)
+        searched = ~is_zero
+        maps = options.k_walk_maps(B, Fhi, Flo, Lhi, Llo, this_bs,
+                                   cfg.kmax, searched)
+        k_in, k_final = options.chain_k(B, maps, k_init)
+        chosen_k = xp.take_along_axis(maps, k_in[:, None], axis=1)[:, 0]
+        lhi = xp.take_along_axis(Lhi, chosen_k[:, None], axis=1)[:, 0]
+        llo = xp.take_along_axis(Llo, chosen_k[:, None], axis=1)[:, 0]
+        # uint32 truncation of the 64-bit length, as encode.c:409
+        split32 = (lhi << u32(16)) + llo
+    else:
+        chosen_k = xp.zeros(NB, dtype=xp.int32)
+        k_final = xp.zeros((), dtype=xp.int32)
+        split32 = xp.full(NB, u32(options.U32_MAX))
+
+    se_len, _ = options.se_lengths(xp, d_blk, ub)
+    opt = options.select_option(xp, split32, se_len, ub, cfg.id_len)
+
+    w, v = fields.gen_fields(xp, cfg, d_blk, opt, chosen_k, ref,
+                             ref_sample_blk, is_zero, zero_emit,
+                             zero_fsval, zero_ref)
+    packed, total_bits = bitpack.pack_fields(
+        B, w.reshape(-1), v.reshape(-1), bit0)
+    return packed, total_bits, int(k_final)
+
+
+class _OutputAssembler:
+    """Accumulates chunk outputs, OR-merging the shared boundary byte."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.bits = 0
+
+    def append(self, chunk_bytes, total_bits):
+        chunk = np.asarray(chunk_bytes)
+        bit0 = self.bits % 8
+        if bit0 and len(self.buf):
+            self.buf[-1] |= int(chunk[0])
+            self.buf += chunk[1:].tobytes()
+        else:
+            self.buf += chunk.tobytes()
+        self.bits += total_bits - bit0
+
+    def finish(self):
+        if self.bits == 0:
+            # empty input: the reference still flushes one zero byte
+            # (encode.c:686-695, observed behaviour)
+            return b"\x00"
+        return bytes(self.buf)
+
+
+def encode_buffer(data, cfg: Config, backend=None, rsis_per_chunk=None):
+    """One-shot encode of a byte buffer (aec_buffer_encode parity).
+
+    Trailing bytes that do not make up a whole sample are ignored, and a
+    trailing partial RSI is padded by repeating the last sample
+    (encode.c:676-685)."""
+    B = backend or _backend.NUMPY
+    bsz = cfg.bytes_per_sample
+    n_samples = len(data) // bsz
+    out = _OutputAssembler()
+    if n_samples == 0:
+        return out.finish()
+
+    raw = np.frombuffer(bytes(data[: n_samples * bsz]), dtype=np.uint8)
+    samples = accessors.bytes_to_samples(np, raw, bsz, cfg.msb)
+
+    S = cfg.samples_per_rsi
+    n_full = n_samples // S
+    rem = n_samples - n_full * S
+    if rsis_per_chunk is None:
+        rsis_per_chunk = max(1, (64 << 20) // (S * 4))
+
+    k_cur = 0
+    pos = 0
+    for start in range(0, n_full, rsis_per_chunk):
+        cnt = min(rsis_per_chunk, n_full - start)
+        x = samples[start * S:(start + cnt) * S].reshape(cnt, S)
+        x = B.xp.asarray(x)
+        packed, bits, k_cur = encode_blocks_core(
+            B, cfg, x, cfg.rsi, k_cur, out.bits % 8)
+        out.append(packed, bits)
+    if rem:
+        nb_tail = -(-rem // cfg.block_size)
+        tail = samples[n_full * S:]
+        pad = nb_tail * cfg.block_size - rem
+        if pad:
+            tail = np.concatenate([tail, np.full(pad, tail[-1], np.uint32)])
+        x = B.xp.asarray(tail.reshape(1, nb_tail * cfg.block_size))
+        packed, bits, k_cur = encode_blocks_core(
+            B, cfg, x, nb_tail, k_cur, out.bits % 8)
+        out.append(packed, bits)
+    return out.finish()
