@@ -50,17 +50,33 @@ class JaxBackend:
     name = "jax"
 
     def __init__(self):
+        import os
+
         import jax
         import jax.numpy as jnp
+
+        # Persistent compilation cache: encode/decode pipelines specialise
+        # on (config, chunk shape); caching across processes amortises the
+        # (remote) compile cost for repeated tool/test/bench invocations.
+        cache_dir = os.environ.get(
+            "LIBAEC_TPU_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "libaec_tpu_jax"),
+        )
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        except Exception:
+            pass
 
         self._jax = jax
         self.xp = jnp
 
     def cummax(self, a, axis):
-        return self._jax.lax.cummax(a, axis=axis)
+        return self._jax.lax.cummax(a, axis=axis % a.ndim)
 
     def cummin_rev(self, a, axis):
-        return self._jax.lax.cummin(a, axis=axis, reverse=True)
+        return self._jax.lax.cummin(a, axis=axis % a.ndim, reverse=True)
 
     def cumsum_u32(self, a, axis=None):
         return self.xp.cumsum(a, axis=axis, dtype=self.xp.uint32)

@@ -20,15 +20,14 @@ from .config import Config
 from .ops import accessors, bitpack, fields, options, preprocess, zeroruns
 
 
-def encode_blocks_core(B, cfg, x, nb, k_init, bit0):
-    """Encode a uniform batch of RSIs.
+def pipeline_fields(B, cfg, x, nb, k_init):
+    """Shared encode pipeline: samples -> flat bit fields.
 
     x: u32 [n_rsi, nb*bs] samples (tail RSI already padded to whole blocks);
     nb: blocks per RSI (== cfg.rsi except for a short trailing RSI);
-    k_init: incoming warm-start k; bit0: bit cursor modulo 8.
+    k_init: incoming warm-start k (int or traced scalar).
 
-    Returns (packed u8 bytes incl. partial boundary bytes, total_bits,
-    k_final).
+    Returns (widths u32 [N], values u32 [N], k_final i32 scalar).
     """
     xp = B.xp
     u32 = xp.uint32
@@ -85,9 +84,60 @@ def encode_blocks_core(B, cfg, x, nb, k_init, bit0):
     w, v = fields.gen_fields(xp, cfg, d_blk, opt, chosen_k, ref,
                              ref_sample_blk, is_zero, zero_emit,
                              zero_fsval, zero_ref)
-    packed, total_bits = bitpack.pack_fields(
-        B, w.reshape(-1), v.reshape(-1), bit0)
+    return w.reshape(-1), v.reshape(-1), k_final
+
+
+def worst_case_bits_per_block(cfg):
+    """Upper bound on one block's emitted CDS bits: the selected option never
+    exceeds the uncompressed CDS, plus id and reference sample."""
+    return cfg.id_len + 1 + cfg.bits_per_sample + (
+        cfg.block_size * cfg.bits_per_sample)
+
+
+def encode_blocks_core(B, cfg, x, nb, k_init, bit0):
+    """numpy-path chunk encode: returns (packed u8 bytes, total_bits,
+    k_final int)."""
+    w, v, k_final = pipeline_fields(B, cfg, x, nb, k_init)
+    packed, total_bits = bitpack.pack_fields(B, w, v, bit0)
     return packed, total_bits, int(k_final)
+
+
+_JIT_CACHE = {}
+
+
+def _jax_chunk_fn(cfg, n_rsi, nb):
+    """Build (and cache) the jitted chunk encoder for a static shape.
+
+    Signature: (x u32 [n_rsi, nb*bs], k_init i32, bit0 u32) ->
+               (words u32 [nwords], total_bits u32, k_final i32)."""
+    key = (cfg, n_rsi, nb)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        import jax
+
+        B = _backend.jax_backend()
+        nwords = (n_rsi * nb * worst_case_bits_per_block(cfg) + 8) // 32 + 2
+
+        def chunk(x, k_init, bit0):
+            w, v, k_final = pipeline_fields(B, cfg, x, nb, k_init)
+            words, total_bits = bitpack.pack_fields_static(
+                B, w, v, bit0, nwords)
+            return words, total_bits, k_final
+
+        fn = jax.jit(chunk)
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+def encode_blocks_jax(cfg, x_np, nb, k_init, bit0):
+    """jit/TPU-path chunk encode; host slices the packed bytes."""
+    fn = _jax_chunk_fn(cfg, x_np.shape[0], nb)
+    words, total_bits, k_final = fn(x_np, k_init, bit0)
+    total_bits = int(total_bits)
+    nbytes = (total_bits + 7) // 8
+    by = np.asarray(words).view(np.uint32)
+    by = by.astype(">u4").view(np.uint8)
+    return by[4:4 + nbytes], total_bits, int(k_final)
 
 
 class _OutputAssembler:
@@ -137,14 +187,19 @@ def encode_buffer(data, cfg: Config, backend=None, rsis_per_chunk=None):
     if rsis_per_chunk is None:
         rsis_per_chunk = max(1, (64 << 20) // (S * 4))
 
-    k_cur = 0
-    pos = 0
+    use_jax = B.name == "jax"
+
+    def run_chunk(x_np, nb):
+        bit0 = out.bits % 8
+        if use_jax:
+            return encode_blocks_jax(cfg, x_np, nb, run_chunk.k, bit0)
+        return encode_blocks_core(B, cfg, x_np, nb, run_chunk.k, bit0)
+
+    run_chunk.k = 0
     for start in range(0, n_full, rsis_per_chunk):
         cnt = min(rsis_per_chunk, n_full - start)
         x = samples[start * S:(start + cnt) * S].reshape(cnt, S)
-        x = B.xp.asarray(x)
-        packed, bits, k_cur = encode_blocks_core(
-            B, cfg, x, cfg.rsi, k_cur, out.bits % 8)
+        packed, bits, run_chunk.k = run_chunk(x, cfg.rsi)
         out.append(packed, bits)
     if rem:
         nb_tail = -(-rem // cfg.block_size)
@@ -152,8 +207,7 @@ def encode_buffer(data, cfg: Config, backend=None, rsis_per_chunk=None):
         pad = nb_tail * cfg.block_size - rem
         if pad:
             tail = np.concatenate([tail, np.full(pad, tail[-1], np.uint32)])
-        x = B.xp.asarray(tail.reshape(1, nb_tail * cfg.block_size))
-        packed, bits, k_cur = encode_blocks_core(
-            B, cfg, x, nb_tail, k_cur, out.bits % 8)
+        packed, bits, run_chunk.k = run_chunk(
+            tail.reshape(1, nb_tail * cfg.block_size), nb_tail)
         out.append(packed, bits)
     return out.finish()

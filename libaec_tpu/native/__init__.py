@@ -1,0 +1,71 @@
+"""Native host runtime: builds and loads the C++ decoder/scanner.
+
+The shared library is compiled on first use (g++ is part of the toolchain);
+the build is cached next to the source.  All entry points have numpy
+fallbacks elsewhere so import never hard-fails.
+"""
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / "aectpu_native.cpp"
+_SO = _HERE / "libaectpu.so"
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build():
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-o", str(_SO), str(_SRC),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    """Returns the loaded ctypes library, or None if unavailable."""
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        try:
+            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+                _build()
+            lib = ctypes.CDLL(str(_SO))
+            lib.aectpu_decode.restype = ctypes.c_int
+            lib.aectpu_decode.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t,      # in
+                ctypes.c_void_p, ctypes.c_size_t,      # out
+                ctypes.POINTER(ctypes.c_size_t),       # out_written
+                ctypes.c_uint, ctypes.c_uint, ctypes.c_uint, ctypes.c_uint,
+            ]
+            _lib = lib
+        except Exception:
+            _build_failed = True
+            return None
+    return _lib
+
+
+def decode(data: bytes, out_cap: int, cfg):
+    """Scalar native decode. Returns (status, bytes)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(max(out_cap, 1))
+    written = ctypes.c_size_t(0)
+    inbuf = ctypes.create_string_buffer(bytes(data), max(len(data), 1))
+    status = lib.aectpu_decode(
+        ctypes.cast(inbuf, ctypes.c_void_p), len(data),
+        ctypes.cast(out, ctypes.c_void_p), out_cap,
+        ctypes.byref(written),
+        cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
+    )
+    return status, out.raw[: written.value]

@@ -1,0 +1,413 @@
+// Native host-side runtime for libaec_tpu: scalar CCSDS 121.0-B-2 decoder
+// and bitstream index scanner.
+//
+// This is a from-scratch implementation of the wire format described by
+// CCSDS 121.0-B-2 (reference behaviour: /root/reference/src/decode.c).  It is
+// NOT a port of the reference FSM: a single forward loop with a 64-bit
+// big-endian bit window replaces the resumable state machine; suspend/resume
+// for streaming is handled by the Python host layer instead.
+//
+// Roles in the TPU framework:
+//  * scalar decode path for small buffers and byte-dribble streaming;
+//  * the sequential "index scan" producing per-CDS records that unlock
+//    data-parallel payload decode on the TPU (CDS boundaries are only
+//    discoverable serially; everything after is parallel).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libaectpu.so aectpu_native.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+namespace {
+
+constexpr int AEC_OK = 0;
+constexpr int AEC_CONF_ERROR = -1;
+constexpr int AEC_DATA_ERROR = -3;
+constexpr int AEC_MEM_ERROR = -4;
+
+constexpr unsigned FLAG_SIGNED = 1;
+constexpr unsigned FLAG_3BYTE = 2;
+constexpr unsigned FLAG_MSB = 4;
+constexpr unsigned FLAG_PREPROCESS = 8;
+constexpr unsigned FLAG_RESTRICTED = 16;
+constexpr unsigned FLAG_PAD_RSI = 32;
+
+struct Params {
+    unsigned bits_per_sample;
+    unsigned block_size;
+    unsigned rsi;
+    unsigned flags;
+
+    int id_len() const {
+        if (bits_per_sample > 16) return 5;
+        if (bits_per_sample > 8) return 4;
+        if (flags & FLAG_RESTRICTED) return bits_per_sample <= 2 ? 1 : 2;
+        return 3;
+    }
+    int bytes_per_sample() const {
+        if (bits_per_sample > 16)
+            return (bits_per_sample <= 24 && (flags & FLAG_3BYTE)) ? 3 : 4;
+        return bits_per_sample > 8 ? 2 : 1;
+    }
+    uint32_t xmax() const {
+        if (flags & FLAG_SIGNED)
+            return UINT32_MAX >> ((32 - bits_per_sample + 1) & 31);
+        return UINT32_MAX >> (32 - bits_per_sample);
+    }
+    bool pp() const { return flags & FLAG_PREPROCESS; }
+};
+
+// MSB-first bit cursor over a zero-padded copy of the input.  The pad lets
+// 64-bit window loads run past the logical end; logical exhaustion is
+// checked against nbits explicitly.
+class BitCursor {
+  public:
+    BitCursor(const uint8_t* data, size_t len) : nbits_(8 * len) {
+        buf_.resize(len + 16, 0);
+        if (len) std::memcpy(buf_.data(), data, len);
+    }
+
+    size_t pos() const { return pos_; }
+    void seek(size_t p) { pos_ = p; }
+    size_t remaining() const { return pos_ < nbits_ ? nbits_ - pos_ : 0; }
+    bool has(size_t n) const { return pos_ + n <= nbits_; }
+
+    uint64_t window() const {  // 64 bits MSB-aligned at the cursor
+        const uint8_t* p = buf_.data() + (pos_ >> 3);
+        uint64_t w = (uint64_t)p[0] << 56 | (uint64_t)p[1] << 48 |
+                     (uint64_t)p[2] << 40 | (uint64_t)p[3] << 32 |
+                     (uint64_t)p[4] << 24 | (uint64_t)p[5] << 16 |
+                     (uint64_t)p[6] << 8 | (uint64_t)p[7];
+        return w << (pos_ & 7);
+    }
+
+    uint32_t get(int n) {  // caller must ensure has(n); n in [0, 32]
+        if (n == 0) return 0;
+        uint32_t v = (uint32_t)(window() >> (64 - n));
+        pos_ += n;
+        return v;
+    }
+
+    // Fundamental sequence: number of 0 bits before the next 1 bit.
+    // Returns false if the stream ends before a 1 is found.
+    bool get_fs(uint32_t* out) {
+        uint32_t zeros = 0;
+        for (;;) {
+            if (pos_ >= nbits_) return false;
+            uint64_t w = window();
+            if (w == 0) {
+                size_t avail = 64 - (pos_ & 7);
+                size_t take = remaining() < avail ? remaining() : avail;
+                zeros += (uint32_t)take;
+                pos_ += take;
+                continue;
+            }
+            int lz = __builtin_clzll(w);
+            if (pos_ + lz >= nbits_) {  // the 1 we saw is past the end pad
+                pos_ = nbits_;
+                return false;
+            }
+            *out = zeros + (uint32_t)lz;
+            pos_ += lz + 1;
+            return true;
+        }
+    }
+
+  private:
+    std::vector<uint8_t> buf_;
+    size_t nbits_;
+    size_t pos_ = 0;
+};
+
+// Output writer: converts decoded uint32 samples to the byte layout.
+class SampleWriter {
+  public:
+    SampleWriter(uint8_t* out, size_t cap_bytes, int bytes_per_sample,
+                 bool msb)
+        : out_(out), cap_(cap_bytes), bsz_(bytes_per_sample), msb_(msb) {}
+
+    bool full() const { return cap_ - written_ < (size_t)bsz_; }
+    size_t written() const { return written_; }
+    size_t cap_left() const { return cap_ - written_; }
+
+    void put(uint32_t v) {
+        uint8_t* p = out_ + written_;
+        switch (bsz_) {
+            case 1:
+                p[0] = (uint8_t)v;
+                break;
+            case 2:
+                if (msb_) { p[0] = (uint8_t)(v >> 8); p[1] = (uint8_t)v; }
+                else { p[0] = (uint8_t)v; p[1] = (uint8_t)(v >> 8); }
+                break;
+            case 3:
+                if (msb_) { p[0] = (uint8_t)(v >> 16); p[1] = (uint8_t)(v >> 8); p[2] = (uint8_t)v; }
+                else { p[0] = (uint8_t)v; p[1] = (uint8_t)(v >> 8); p[2] = (uint8_t)(v >> 16); }
+                break;
+            default:
+                if (msb_) { p[0] = (uint8_t)(v >> 24); p[1] = (uint8_t)(v >> 16); p[2] = (uint8_t)(v >> 8); p[3] = (uint8_t)v; }
+                else { p[0] = (uint8_t)v; p[1] = (uint8_t)(v >> 8); p[2] = (uint8_t)(v >> 16); p[3] = (uint8_t)(v >> 24); }
+        }
+        written_ += bsz_;
+    }
+
+  private:
+    uint8_t* out_;
+    size_t cap_;
+    int bsz_;
+    bool msb_;
+    size_t written_ = 0;
+};
+
+// Second-extension unpairing: fs value m -> pair (a, b) with a + b = i,
+// m = i(i+1)/2 + b.  Closed form instead of the reference's 91-entry table
+// (decode.c:679-692), which only covers i < 13; valid encoders can emit
+// larger groups whenever the SE length fits under uncomp_len.
+static inline void se_unpair(uint32_t m, uint32_t* a, uint32_t* b) {
+    // group index i = floor((sqrt(8m+1) - 1) / 2), with float correction
+    uint32_t i = (uint32_t)((__builtin_sqrt(8.0 * (double)m + 1.0) - 1.0) * 0.5);
+    while ((uint64_t)(i + 1) * (i + 2) / 2 <= m) i++;
+    while ((uint64_t)i * (i + 1) / 2 > m) i--;
+    uint32_t ms = i * (i + 1) / 2;
+    *b = m - ms;
+    *a = i - *b;
+}
+
+// Inverse of the unit-delay predictor + sign mapper.  Processes samples
+// [begin, end) of an RSI in place, where samples[0] of the RSI (if `first`)
+// is the reference.  Carries `last` across calls within one stream.
+class Unpredictor {
+  public:
+    explicit Unpredictor(const Params& p)
+        : pp_(p.pp()), is_signed_(p.flags & FLAG_SIGNED),
+          bps_(p.bits_per_sample), xmax_(p.xmax()) {
+        // The inverse-map branch follows xmin == 0, not the SIGNED flag
+        // (decode.c:91,111): signed 1-bit data has xmin == ~xmax == 0 due to
+        // the x86 shift quirk and therefore uses the unsigned path.
+        uint32_t xmin = is_signed_ ? ~xmax_ : 0;
+        unsigned_path_ = (xmin == 0);
+    }
+
+    // deltas: pointer to RSI-local sample array; n: count; first_of_rsi:
+    // deltas[0] is the reference sample.
+    void apply(uint32_t* v, size_t n, bool first_of_rsi) {
+        if (!pp_ || n == 0) return;
+        size_t i = 0;
+        if (first_of_rsi) {
+            int32_t r = (int32_t)v[0];
+            if (is_signed_) {
+                uint32_t m = 1u << (bps_ - 1);
+                r = (int32_t)(((uint32_t)r ^ m) - m);
+            }
+            last_ = r;
+            v[0] = (uint32_t)r;
+            i = 1;
+        }
+        if (!unsigned_path_) {
+            int32_t last = last_;
+            const int32_t xmax = (int32_t)xmax_;
+            for (; i < n; i++) {
+                uint32_t d = v[i];
+                uint32_t half = (d >> 1) + (d & 1);
+                // zig = +d/2 for even d, -(d+1)/2 for odd d
+                uint32_t zig = (d >> 1) ^ (~((d & 1) - 1));
+                if (last < 0) {
+                    if (half <= (uint32_t)xmax + (uint32_t)last + 1)
+                        last = (int32_t)((uint32_t)last + zig);
+                    else
+                        last = (int32_t)d - xmax - 1;
+                } else {
+                    if (half <= (uint32_t)(xmax - last))
+                        last = (int32_t)((uint32_t)last + zig);
+                    else
+                        last = xmax - (int32_t)d;
+                }
+                v[i] = (uint32_t)last;
+            }
+            last_ = last;
+        } else {
+            uint32_t last = (uint32_t)last_;
+            const uint32_t xmax = xmax_;
+            const uint32_t med = xmax / 2 + 1;
+            for (; i < n; i++) {
+                uint32_t d = v[i];
+                uint32_t half = (d >> 1) + (d & 1);
+                uint32_t zig = (d >> 1) ^ (~((d & 1) - 1));
+                uint32_t mask = (last & med) ? xmax : 0;
+                if (half <= (mask ^ last))
+                    last += zig;
+                else
+                    last = mask ^ d;
+                v[i] = last;
+            }
+            last_ = (int32_t)last;
+        }
+    }
+
+  private:
+    bool pp_;
+    bool is_signed_;
+    bool unsigned_path_;
+    unsigned bps_;
+    uint32_t xmax_;
+    int32_t last_ = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Full scalar decode.  Returns an AEC status code; *out_written receives the
+// number of bytes produced.  Truncation semantics match the reference: decode
+// proceeds until input bits or output capacity run out, whole samples only.
+int aectpu_decode(const uint8_t* in, size_t in_len, uint8_t* out,
+                  size_t out_cap, size_t* out_written,
+                  unsigned bits_per_sample, unsigned block_size, unsigned rsi,
+                  unsigned flags) {
+    Params p{bits_per_sample, block_size, rsi, flags};
+    if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
+
+    const int id_len = p.id_len();
+    const int bsz = p.bytes_per_sample();
+    const unsigned bs = block_size;
+    const size_t S = (size_t)rsi * bs;
+    const uint32_t uncomp_id = (1u << id_len) - 1;
+    const bool pp = p.pp();
+
+    BitCursor bits(in, in_len);
+    SampleWriter w(out, out_cap, bsz, flags & FLAG_MSB);
+    Unpredictor up(p);
+
+    std::vector<uint32_t> rsibuf(S, 0);
+    size_t rsip = 0;         // samples collected in current RSI
+    size_t flush_start = 0;  // first un-flushed sample in rsibuf
+    int status = AEC_OK;
+    // Output capacity is reserved per *buffered* sample, exactly like the
+    // reference's avail_out accounting at put_sample time (decode.c:213-220).
+    const size_t max_samples = out_cap / (size_t)bsz;
+    size_t samples_put = 0;
+    auto have_room = [&](size_t n) { return samples_put + n <= max_samples; };
+
+    auto flush = [&]() {
+        if (rsip > flush_start) {
+            up.apply(rsibuf.data() + flush_start, rsip - flush_start,
+                     pp && flush_start == 0);
+            for (size_t i = flush_start; i < rsip; i++) w.put(rsibuf[i]);
+            flush_start = rsip;
+        }
+        if (rsip == S) { rsip = 0; flush_start = 0; }
+    };
+
+    // put one sample into the RSI buffer; flushes a completed RSI
+    auto put = [&](uint32_t v) {
+        rsibuf[rsip++] = v;
+        samples_put++;
+        if (rsip == S) flush();
+    };
+
+    for (;;) {
+        bool ref = false;
+        if (rsip == 0) {
+            if (flags & FLAG_PAD_RSI) bits.seek((bits.pos() + 7) & ~7ull);
+            ref = pp;
+        }
+        if (!bits.has(id_len)) break;
+        uint32_t id = bits.get(id_len);
+
+        if (id == 0) {  // low-entropy options
+            if (!bits.has(1)) break;
+            uint32_t sub = bits.get(1);
+            if (ref) {
+                if (!bits.has(bits_per_sample) || !have_room(1)) break;
+                put(bits.get(bits_per_sample));
+            }
+            if (sub == 1) {  // second extension
+                uint32_t i = ref ? 1 : 0;
+                while (i < bs) {
+                    uint32_t m, va, vb;
+                    if (!bits.get_fs(&m)) goto done;
+                    se_unpair(m, &va, &vb);
+                    if ((i & 1) == 0) {
+                        if (!have_room(1)) goto done;
+                        if (rsip >= S) { status = AEC_DATA_ERROR; goto done; }
+                        put(va);
+                        i++;
+                    }
+                    if (!have_room(1)) goto done;
+                    if (rsip >= S) { status = AEC_DATA_ERROR; goto done; }
+                    put(vb);
+                    i++;
+                }
+            } else {  // zero-block run
+                uint32_t fs;
+                if (!bits.get_fs(&fs)) break;
+                uint32_t zb = fs + 1;
+                if (zb == 5) {
+                    uint32_t b = (uint32_t)(rsip / bs);
+                    uint32_t rest_rsi = rsi - b;
+                    uint32_t rest_seg = 64 - (b % 64);
+                    zb = rest_rsi < rest_seg ? rest_rsi : rest_seg;
+                } else if (zb > 5) {
+                    zb--;
+                }
+                size_t n = (size_t)zb * bs - (ref ? 1 : 0);
+                if (S - rsip < n) { status = AEC_DATA_ERROR; break; }
+                for (size_t i = 0; i < n; i++) {
+                    if (!have_room(1)) goto done;
+                    put(0);
+                }
+            }
+        } else if (id == uncomp_id) {
+            for (unsigned i = 0; i < bs; i++) {
+                if (!bits.has(bits_per_sample)) goto done;
+                if (!have_room(1)) goto done;
+                if (rsip >= S) { status = AEC_DATA_ERROR; goto done; }
+                put(bits.get(bits_per_sample));
+            }
+        } else {  // split, k = id - 1
+            int k = (int)id - 1;
+            unsigned nref = ref ? 1 : 0;
+            if (ref) {
+                if (!bits.has(bits_per_sample)) break;
+                if (!have_room(1)) break;
+                if (rsip >= S) { status = AEC_DATA_ERROR; break; }
+                put(bits.get(bits_per_sample));
+            }
+            unsigned n = bs - nref;
+            if (S - rsip < n) { status = AEC_DATA_ERROR; break; }
+            // FS phase: all fs values must parse before any sample is out
+            uint32_t* dst = rsibuf.data() + rsip;
+            {
+                unsigned i = 0;
+                for (; i < n; i++) {
+                    uint32_t fs;
+                    if (!bits.get_fs(&fs)) goto done;
+                    dst[i] = fs << k;
+                }
+            }
+            // LSB phase: samples complete one by one
+            for (unsigned i = 0; i < n; i++) {
+                if (!bits.has((size_t)k)) goto done;
+                if (!have_room(1)) goto done;
+                uint32_t lsb = k ? bits.get(k) : 0;
+                put(dst[i] | lsb);
+            }
+        }
+    }
+done:
+    if (status == AEC_OK) {
+        // reference: leftover output space smaller than one sample is an
+        // error, checked *before* the final partial-RSI flush
+        // (decode.c:821-825); on any error the final flush is skipped, so
+        // only whole-RSI flushes are visible in the output.
+        size_t left = out_cap - (size_t)bsz * samples_put;
+        if (left > 0 && left < (size_t)bsz) status = AEC_MEM_ERROR;
+    }
+    if (status == AEC_OK) flush();
+    *out_written = w.written();
+    return status;
+}
+
+}  // extern "C"
