@@ -1,0 +1,143 @@
+"""Command-line tool with the reference `aec` option surface
+(/root/reference/src/aec.c:242-257):
+
+    aec [-3] [-N] [-b size] [-d] [-j samples] [-m] [-n bits] [-p]
+        [-r blocks] [-s] [-t] SOURCE DEST
+
+Defaults match the reference: 8 bits/sample, block 8, rsi 2, preprocessing
+on.  Encode uses the TPU backend for large inputs (numpy below a threshold);
+decode goes through the native scanner path.
+"""
+import sys
+
+from .config import Config
+from .constants import (
+    AEC_DATA_3BYTE,
+    AEC_DATA_MSB,
+    AEC_DATA_PREPROCESS,
+    AEC_DATA_SIGNED,
+    AEC_PAD_RSI,
+    AEC_RESTRICTED,
+)
+from .decode import decode_buffer_status
+from .encode import encode_buffer
+
+_USAGE = """NAME
+\taec - encode or decode files with Adaptive Entropy Coding
+
+SYNOPSIS
+\taec [OPTION]... SOURCE DEST
+
+OPTIONS
+\t-3\t\t24 bit samples are stored in 3 bytes
+\t-N\t\tdisable pre/post processing
+\t-b size\t\tinternal buffer size in bytes
+\t-d\t\tdecode SOURCE. If -d is not used: encode.
+\t-j samples\tblock size in samples
+\t-m\t\tsamples are MSB first. Default is LSB
+\t-n bits\t\tbits per sample
+\t-p\t\tpad RSI to byte boundary
+\t-r blocks\treference sample interval in blocks
+\t-s\t\tsamples are signed. Default is unsigned
+\t-t\t\tuse restricted set of code options
+"""
+
+# TPU backend pays a per-shape compile cost; route small files to numpy.
+_JAX_THRESHOLD_BYTES = 1 << 22
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    bits_per_sample = 8
+    block_size = 8
+    rsi = 2
+    flags = AEC_DATA_PREPROCESS
+    dflag = False
+    chunk = 10485760  # accepted for compatibility; host chunking is automatic
+
+    def get_param(i):
+        if len(argv[i]) == 2:
+            return int(argv[i + 1]), i + 2
+        return int(argv[i][2:]), i + 1
+
+    i = 0
+    try:
+        while i < len(argv) - 2:
+            opt = argv[i]
+            if not opt.startswith("-"):
+                raise ValueError(opt)
+            c = opt[1]
+            if c == "3":
+                flags |= AEC_DATA_3BYTE
+            elif c == "N":
+                flags &= ~AEC_DATA_PREPROCESS
+            elif c == "b":
+                chunk, i = get_param(i)
+                continue
+            elif c == "d":
+                dflag = True
+            elif c == "j":
+                block_size, i = get_param(i)
+                continue
+            elif c == "m":
+                flags |= AEC_DATA_MSB
+            elif c == "n":
+                bits_per_sample, i = get_param(i)
+                continue
+            elif c == "p":
+                flags |= AEC_PAD_RSI
+            elif c == "r":
+                rsi, i = get_param(i)
+                continue
+            elif c == "s":
+                flags |= AEC_DATA_SIGNED
+            elif c == "t":
+                flags |= AEC_RESTRICTED
+            else:
+                raise ValueError(opt)
+            i += 1
+    except (ValueError, IndexError):
+        sys.stderr.write(_USAGE)
+        return 1
+
+    if len(argv) - i < 2:
+        sys.stderr.write(_USAGE)
+        return 1
+    infn, outfn = argv[i], argv[i + 1]
+
+    try:
+        cfg = Config(bits_per_sample, block_size, rsi, flags)
+    except Exception as e:
+        sys.stderr.write(f"ERROR: initialization failed ({e})\n")
+        return 1
+
+    with open(infn, "rb") as f:
+        data = f.read()
+
+    if dflag:
+        # upper bound on decoded size, then trim: CLI semantics stream until
+        # input is exhausted
+        bound = ((len(data) * 8 // (cfg.id_len + 2) + 2)
+                 * 64 * cfg.block_size * cfg.bytes_per_sample)
+        status, out = decode_buffer_status(data, cfg, bound)
+        if status < 0:
+            sys.stderr.write(f"ERROR: {status}\n")
+            return 1
+    else:
+        backend = None
+        if len(data) >= _JAX_THRESHOLD_BYTES:
+            try:
+                from .backend import jax_backend
+
+                backend = jax_backend()
+            except Exception:
+                backend = None
+        out = encode_buffer(data, cfg, backend=backend)
+
+    with open(outfn, "wb") as f:
+        f.write(out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -132,6 +132,6 @@ class Config:
 
     @property
     def slots_per_block(self):
-        """Static field slots per block in the bit assembler: id + ref +
-        block_size FS/raw fields + block_size split-LSB fields."""
-        return 2 + 2 * self.block_size
+        """Static field slots per block in the bit assembler: three lanes of
+        block_size slots (header incl. id+ref, FS/raw/SE, split-LSB)."""
+        return 3 * self.block_size

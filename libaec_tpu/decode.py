@@ -1,0 +1,282 @@
+"""Decoder orchestration.
+
+Decode of an un-indexed AEC stream is inherently serial at the bit level
+(option IDs are discovered only by decoding; SURVEY.md §2).  The design is
+two-phase:
+
+  phase 1 (host, native C++): sequential index scan / scalar decode
+          (libaec_tpu/native) -- GB/s-class, no sample reconstruction cost
+          when only indexing;
+  phase 2 (TPU): data-parallel payload decode across blocks/RSIs once CDS
+          boundaries are known (ops/bitunpack.py, kernels/).
+
+aectpu_decode currently performs both phases scalar-side; the TPU payload
+path hangs off the same index records.  A pure-numpy fallback keeps the
+package functional without a C++ toolchain.
+"""
+import numpy as np
+
+from . import native
+from .config import Config
+from .constants import (
+    AEC_MEM_ERROR,
+    AEC_OK,
+    AecDataError,
+    AecError,
+    AecMemError,
+)
+
+
+def decode_buffer_status(data, cfg: Config, out_size):
+    """One-shot decode with C-style (status, bytes) result
+    (aec_buffer_decode parity, decode.c:843-854)."""
+    res = native.decode(bytes(data), out_size, cfg)
+    if res is not None:
+        return res
+    return decode_buffer_numpy(bytes(data), out_size, cfg)
+
+
+def decode_buffer(data, cfg: Config, out_size):
+    """One-shot decode; raises AecError subclasses on failure."""
+    status, out = decode_buffer_status(data, cfg, out_size)
+    if status == AEC_OK:
+        return out
+    if status == AEC_MEM_ERROR:
+        raise AecMemError("output size not a whole number of samples")
+    raise AecDataError(f"status {status}")
+
+
+# ---------------------------------------------------------------------------
+# numpy fallback decoder (used only when the native library cannot build)
+# ---------------------------------------------------------------------------
+
+def _se_unpair(m):
+    i = int((np.sqrt(8.0 * m + 1.0) - 1.0) / 2.0)
+    while (i + 1) * (i + 2) // 2 <= m:
+        i += 1
+    while i * (i + 1) // 2 > m:
+        i -= 1
+    b = m - i * (i + 1) // 2
+    return i - b, b
+
+
+class _Bits:
+    def __init__(self, data):
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.pos = 0
+
+    def has(self, n):
+        return self.pos + n <= len(self.bits)
+
+    def get(self, n):
+        v = 0
+        b = self.bits[self.pos : self.pos + n]
+        for bit in b:
+            v = (v << 1) | int(bit)
+        self.pos += n
+        return v
+
+    def get_fs(self):
+        idx = np.argmax(self.bits[self.pos :])  # first 1
+        if not len(self.bits[self.pos :]) or self.bits[self.pos + idx] == 0:
+            self.pos = len(self.bits)
+            return None
+        self.pos += idx + 1
+        return int(idx)
+
+
+def decode_buffer_numpy(data, out_size, cfg: Config):
+    """Reference-exact scalar decode in python/numpy (slow fallback)."""
+    bs = cfg.block_size
+    S = cfg.samples_per_rsi
+    bsz = cfg.bytes_per_sample
+    id_len = cfg.id_len
+    bps = cfg.bits_per_sample
+    uncomp_id = (1 << id_len) - 1
+    pp = cfg.preprocess
+
+    bits = _Bits(data)
+    rsibuf = np.zeros(S, np.uint64)
+    out = bytearray()
+    rsip = 0
+    flush_start = 0
+    max_samples = out_size // bsz
+    samples_put = 0
+    status = AEC_OK
+    last_out = 0
+
+    def flush():
+        nonlocal flush_start, rsip, last_out
+        n = rsip - flush_start
+        if n > 0:
+            vals = rsibuf[flush_start:rsip].astype(np.uint32)
+            if pp:
+                vals, last_out = _unpredict(vals, flush_start == 0, last_out,
+                                            cfg)
+            for v in vals:
+                out.extend(_put_bytes(int(v), bsz, cfg.msb))
+            flush_start = rsip
+        if rsip == S:
+            rsip = 0
+            flush_start = 0
+
+    def put(v):
+        nonlocal rsip, samples_put
+        rsibuf[rsip] = v
+        rsip += 1
+        samples_put += 1
+        if rsip == S:
+            flush()
+
+    def room():
+        return samples_put < max_samples
+
+    running = True
+    while running:
+        ref = False
+        if rsip == 0:
+            if cfg.pad_rsi:
+                bits.pos = (bits.pos + 7) & ~7
+            ref = pp
+        if not bits.has(id_len):
+            break
+        cid = bits.get(id_len)
+        if cid == 0:
+            if not bits.has(1):
+                break
+            sub = bits.get(1)
+            if ref:
+                if not bits.has(bps) or not room():
+                    break
+                put(bits.get(bps))
+            if sub == 1:  # second extension
+                i = 1 if ref else 0
+                while i < bs:
+                    m = bits.get_fs()
+                    if m is None:
+                        running = False
+                        break
+                    va, vb = _se_unpair(m)
+                    if (i & 1) == 0:
+                        if not room() or rsip >= S:
+                            running = False
+                            status = status if room() else status
+                            break
+                        put(va)
+                        i += 1
+                    if not room() or rsip >= S:
+                        running = False
+                        break
+                    put(vb)
+                    i += 1
+            else:  # zero run
+                fs = bits.get_fs()
+                if fs is None:
+                    break
+                zb = fs + 1
+                if zb == 5:
+                    b = rsip // bs
+                    zb = min(cfg.rsi - b, 64 - (b % 64))
+                elif zb > 5:
+                    zb -= 1
+                n = zb * bs - (1 if ref else 0)
+                if S - rsip < n:
+                    status = -3
+                    break
+                for _ in range(n):
+                    if not room():
+                        running = False
+                        break
+                    put(0)
+        elif cid == uncomp_id:
+            for _ in range(bs):
+                if not bits.has(bps) or not room() or rsip >= S:
+                    running = False
+                    break
+                put(bits.get(bps))
+        else:
+            k = cid - 1
+            if ref:
+                if not bits.has(bps) or not room():
+                    break
+                put(bits.get(bps))
+            n = bs - (1 if ref else 0)
+            if S - rsip < n:
+                status = -3
+                break
+            fsv = []
+            for _ in range(n):
+                f = bits.get_fs()
+                if f is None:
+                    running = False
+                    break
+                fsv.append(f << k)
+            if len(fsv) < n:
+                break
+            for i in range(n):
+                if not bits.has(k) or not room():
+                    running = False
+                    break
+                put(fsv[i] | (bits.get(k) if k else 0))
+
+    if status == AEC_OK:
+        left = out_size - bsz * samples_put
+        if 0 < left < bsz:
+            status = AEC_MEM_ERROR
+    if status == AEC_OK:
+        flush()
+    return status, bytes(out)
+
+
+def _put_bytes(v, bsz, msb):
+    if msb:
+        return bytes((v >> (8 * (bsz - 1 - i))) & 0xFF for i in range(bsz))
+    return bytes((v >> (8 * i)) & 0xFF for i in range(bsz))
+
+
+def _unpredict(deltas, first_of_rsi, last_out, cfg: Config):
+    """Inverse predictor (decode.c FLUSH macro), scalar numpy."""
+    xmax = cfg.xmax
+    unsigned_path = cfg.xmin == 0
+    vals = deltas.astype(np.int64)
+    out = np.zeros_like(vals)
+    i = 0
+    data = last_out
+    if first_of_rsi and len(vals):
+        r = int(vals[0])
+        if cfg.signed:
+            m = 1 << (cfg.bits_per_sample - 1)
+            r = (r ^ m) - m
+        data = r
+        out[0] = r
+        i = 1
+    if unsigned_path:
+        med = xmax // 2 + 1
+        for j in range(i, len(vals)):
+            d = int(vals[j])
+            half = (d >> 1) + (d & 1)
+            zig = (d >> 1) if (d & 1) == 0 else -((d >> 1) + 1)
+            mask = xmax if (data & med) else 0
+            if half <= (mask ^ (data & 0xFFFFFFFF)):
+                data = (data + zig) & 0xFFFFFFFF
+            else:
+                data = mask ^ d
+            out[j] = data
+    else:
+        sxmax = np.int64(np.uint32(xmax).astype(np.int32))
+        for j in range(i, len(vals)):
+            d = int(vals[j])
+            half = (d >> 1) + (d & 1)
+            zig = (d >> 1) if (d & 1) == 0 else -((d >> 1) + 1)
+            if data < 0:
+                if half <= sxmax + data + 1:
+                    data = data + zig
+                else:
+                    data = d - sxmax - 1
+            else:
+                if half <= sxmax - data:
+                    data = data + zig
+                else:
+                    data = sxmax - d
+            out[j] = data
+    return out.astype(np.uint32), data

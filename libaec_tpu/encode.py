@@ -116,12 +116,19 @@ def _jax_chunk_fn(cfg, n_rsi, nb):
         import jax
 
         B = _backend.jax_backend()
-        nwords = (n_rsi * nb * worst_case_bits_per_block(cfg) + 8) // 32 + 2
+        NB = n_rsi * nb
+        worst = worst_case_bits_per_block(cfg)
+        local_words = (worst + 31) // 32 + 1
+        group = 64
+        gw1 = group * (local_words + 1) + 1
+        nwords = (NB * worst + 8) // 32 + gw1 + 2
 
         def chunk(x, k_init, bit0):
             w, v, k_final = pipeline_fields(B, cfg, x, nb, k_init)
-            words, total_bits = bitpack.pack_fields_static(
-                B, w, v, bit0, nwords)
+            w = w.reshape(NB, -1)
+            v = v.reshape(NB, -1)
+            words, total_bits = bitpack.pack_fields_grouped(
+                B, w, v, bit0, local_words, nwords, group)
             return words, total_bits, k_final
 
         fn = jax.jit(chunk)

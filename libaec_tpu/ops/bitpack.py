@@ -66,6 +66,121 @@ def pack_fields_static(B, widths_flat, values_flat, bit0, nwords):
     return out, total_bits
 
 
+def _shift_window_right(xp, win, sh):
+    """Shift a bit-window right by sh in [0,32) bits (MSB-first words).
+
+    win: u32 [..., W]; sh: u32 [..., 1] broadcastable.  Returns [..., W+1]:
+    out[j] = (win[j] >> sh) | (win[j-1] << (32-sh)), with win[-1] == 0."""
+    u32 = xp.uint32
+    padded = xp.pad(win, [(0, 0)] * (win.ndim - 1) + [(1, 0)])
+    hi = padded[..., 1:] >> sh
+    lo_src = padded[..., :-1]
+    lo = xp.where(sh == 0, u32(0), lo_src << ((u32(32) - sh) & u32(31)))
+    out_main = hi | lo
+    # the extra trailing word catches bits shifted out of the last word
+    tail = xp.where(sh == 0, u32(0),
+                    win[..., -1:] << ((u32(32) - sh) & u32(31)))
+    return xp.concatenate([out_main, tail], axis=-1)
+
+
+def pack_fields_grouped(B, widths, values, bit0, local_words, nwords,
+                        group=64):
+    """Scatter-free bit assembly (the TPU path).
+
+    widths/values: u32 [NB, S] per-block field grids in stream order;
+    bit0: starting bit offset in [0, 8); local_words: static words per block
+    window (>= ceil(max block bits / 32) + 1 front pad word);
+    nwords: static output size in words (index 0 is a front pad word).
+
+    Three stages, all static shapes, no scatter:
+      A. per-block local pack: each field's <=32 value bits land in at most
+         two words of a [local_words+1] window; accumulate with a dense
+         compare-sum over the (few) local words;
+      B. log-tree merge of `group` consecutive block windows into one group
+         window (variable bit shifts via gathers along the word axis);
+      C. sequential lax.scan over groups, adding each pre-shifted group
+         window into the output at its word offset (in-place
+         dynamic-update-slice; grid order makes the boundary overlaps safe).
+
+    Returns (words u32 [nwords], total_bits u32 incl. bit0).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    xp = B.xp
+    u32 = xp.uint32
+    NB, S = widths.shape
+    W0 = local_words + 1  # front pad word + payload words
+
+    # ---- stage A: local pack ---------------------------------------------
+    e = xp.cumsum(widths, axis=1, dtype=xp.uint32) + u32(32)
+    t = e & u32(31)
+    i1 = (e >> u32(5)) - u32(1)          # in [0, W0)
+    i2 = e >> u32(5)
+    c1 = values >> t
+    c2 = xp.where(t == 0, u32(0), values << ((u32(32) - t) & u32(31)))
+    block_bits = e[:, -1] - u32(32)
+
+    cols = []
+    for w in range(W0):
+        wv = u32(w)
+        acc = xp.where(i1 == wv, c1, u32(0)).sum(axis=1, dtype=xp.uint32)
+        acc = acc + xp.where(i2 == wv, c2, u32(0)).sum(axis=1, dtype=xp.uint32)
+        cols.append(acc)
+    win = xp.stack(cols, axis=1)  # [NB, W0]
+
+    # pad block count to a multiple of `group` with empty windows
+    NBp = -(-NB // group) * group
+    if NBp != NB:
+        win = xp.pad(win, ((0, NBp - NB), (0, 0)))
+        block_bits = xp.pad(block_bits, (0, NBp - NB))
+
+    # ---- stage B: tree merge into group windows ---------------------------
+    lens = block_bits
+    levels = group.bit_length() - 1
+    for _ in range(levels):
+        l_win, r_win = win[0::2], win[1::2]
+        l_len, r_len = lens[0::2], lens[1::2]
+        Wl = l_win.shape[1]
+        o = (l_len >> u32(5))[:, None]
+        sh = (l_len & u32(31))[:, None]
+        W_new = 2 * Wl
+        jj = xp.arange(W_new, dtype=xp.uint32)[None, :]
+        # r window word (j - o) and (j - o - 1), gathered with clipping
+        idx = jj - o
+        idx_m1 = idx - u32(1)
+        valid = (jj >= o)
+        valid_m1 = (jj >= o + u32(1))
+        r_pad = xp.pad(r_win, ((0, 0), (0, W_new - Wl)))
+        g1 = xp.take_along_axis(
+            r_pad, xp.where(valid, idx, u32(0)).astype(xp.int32), axis=1)
+        g2 = xp.take_along_axis(
+            r_pad, xp.where(valid_m1, idx_m1, u32(0)).astype(xp.int32), axis=1)
+        contrib = xp.where(valid, g1 >> sh, u32(0))
+        contrib = contrib + xp.where(
+            (sh > 0) & valid_m1, g2 << ((u32(32) - sh) & u32(31)), u32(0))
+        win = xp.pad(l_win, ((0, 0), (0, W_new - Wl))) + contrib
+        lens = l_len + r_len
+
+    # ---- stage C: sequential merge of group windows -----------------------
+    gbits = xp.cumsum(lens, dtype=xp.uint32) - lens + xp.asarray(bit0, u32)
+    total_bits = (xp.cumsum(lens, dtype=xp.uint32)[-1]
+                  + xp.asarray(bit0, u32))
+    gofs = (gbits >> u32(5)).astype(xp.int32)
+    gsh = (gbits & u32(31))[:, None]
+    win_shifted = _shift_window_right(xp, win, gsh)  # [NG, GW+1]
+    GW1 = win_shifted.shape[1]
+
+    def body(buf, args):
+        w, o = args
+        cur = jax.lax.dynamic_slice(buf, (o,), (GW1,))
+        return jax.lax.dynamic_update_slice(buf, cur + w, (o,)), None
+
+    buf = jnp.zeros(nwords, dtype=jnp.uint32)
+    buf, _ = jax.lax.scan(body, buf, (win_shifted, gofs))
+    return buf, total_bits
+
+
 def words_to_bytes(xp, words):
     """Big-endian split of u32 words into bytes."""
     u32 = xp.uint32

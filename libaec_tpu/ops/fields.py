@@ -7,19 +7,21 @@ representation: a field of width w holds its value in the w low bits
 (FS/unary codes are simply value 1 in width fs+1).  Widths of 0 mark unused
 slots.  ops/bitpack.py turns the flat field list into packed bytes.
 
-Slot layout per block (static; S = 2 + 2*block_size):
-  0:            option ID   (id_len bits, or id_len+1 for low-entropy ids)
-  1:            reference sample (bits_per_sample bits when present)
-  2..2+bs:      per-sample FS part (split), raw samples (uncomp),
-                per-pair SE codes (even slots), or the zero-run FS (slot 2)
-  2+bs..2+2bs:  per-sample k LSBs (split only)
+Layout per block: three lanes of block_size slots each, flattened in order
+(S = 3 * block_size) -- built with stack+reshape, which lowers to cheap
+layout ops on TPU (unaligned concatenates do not):
+  lane 0 (header): slot 0 = option ID (id_len bits, id_len+1 for the
+      low-entropy ids), slot 1 = reference sample, rest zero-width
+  lane 1 (mid):    per-sample FS part (split), raw samples (uncomp),
+      per-pair SE codes (even slots), or the zero-run FS at slot 0
+  lane 2 (lsb):    per-sample k LSBs (split only)
 """
 from .options import OPT_SE, OPT_SPLIT, OPT_UNCOMP
 
 
 def gen_fields(xp, cfg, d_blk, opt, chosen_k, ref, ref_sample, is_zero,
                zero_emit, zero_fsval, zero_ref):
-    """Build widths/values u32 [NB, S].
+    """Build widths/values u32 [NB, 3*bs].
 
     d_blk:      u32 [NB, bs] preprocessed samples
     opt:        i32 [NB] chosen option (valid only where ~is_zero)
@@ -36,7 +38,7 @@ def gen_fields(xp, cfg, d_blk, opt, chosen_k, ref, ref_sample, is_zero,
     bps_mask = u32((1 << bps) - 1 if bps < 32 else 0xFFFFFFFF)
 
     ku = chosen_k.astype(xp.uint32)[:, None]
-    refu = ref.astype(xp.uint32)
+    refu = ref.astype(u32)
     i_idx = xp.arange(bs, dtype=xp.uint32)[None, :]
     active = ~is_zero
 
@@ -44,7 +46,7 @@ def gen_fields(xp, cfg, d_blk, opt, chosen_k, ref, ref_sample, is_zero,
     is_se = active & (opt == OPT_SE)
     is_unc = active & (opt == OPT_UNCOMP)
 
-    # ---- slot 0: option ID ------------------------------------------------
+    # ---- header lane: option ID at slot 0, reference sample at slot 1 ----
     # split: emit(k+1, id_len); uncomp: emit(2^id_len-1, id_len);
     # se: emit(1, id_len+1); zero: emit(0, id_len+1)  (encode.c:520-583)
     id_w = xp.where(
@@ -56,15 +58,19 @@ def gen_fields(xp, cfg, d_blk, opt, chosen_k, ref, ref_sample, is_zero,
         xp.where(is_unc, u32((1 << id_len) - 1),
                  xp.where(is_se, u32(1), u32(0))),
     )
-
-    # ---- slot 1: reference sample ----------------------------------------
-    # split/se emit it separately; uncomp embeds it in the raw block;
-    # zero runs carry it iff the run starts at the RSI head (encode.c:571-572)
+    # reference sample: split/se emit it separately; uncomp embeds it in the
+    # raw block; zero runs carry it iff the run starts at the RSI head
+    # (encode.c:571-572)
     ref_here = ((is_split | is_se) & ref) | (zero_emit & zero_ref)
     ref_w = xp.where(ref_here, u32(bps), u32(0))
     ref_v = xp.where(ref_here, ref_sample & bps_mask, u32(0))
 
-    # ---- slots 2..2+bs ----------------------------------------------------
+    hdr_w = xp.where(i_idx == 0, id_w[:, None],
+                     xp.where(i_idx == 1, ref_w[:, None], u32(0)))
+    hdr_v = xp.where(i_idx == 0, id_v[:, None],
+                     xp.where(i_idx == 1, ref_v[:, None], u32(0)))
+
+    # ---- mid lane --------------------------------------------------------
     sample_active = i_idx >= refu[:, None]  # i in [ref, bs)
 
     # split FS part: width (d >> k) + 1, value 1 (emitblock_fs, :118-142)
@@ -77,9 +83,7 @@ def gen_fields(xp, cfg, d_blk, opt, chosen_k, ref, ref_sample, is_zero,
     ) & bps_mask
 
     # SE: pair p encoded at even slot 2p; width fs+1, value 1 (:547-563)
-    se_fs = se_pair_fs(xp, d_blk)
-    se_w_pairs = se_fs + u32(1)
-    se_w_full = _interleave_even(xp, se_w_pairs)
+    se_w_full = _interleave_even(xp, se_pair_fs(xp, d_blk) + u32(1))
 
     mid_w = xp.where(
         is_split[:, None] & sample_active, split_fs_w,
@@ -92,25 +96,24 @@ def gen_fields(xp, cfg, d_blk, opt, chosen_k, ref, ref_sample, is_zero,
                  xp.where(is_se[:, None],
                           xp.where(se_w_full > 0, u32(1), u32(0)), u32(0))),
     )
-    # zero-run CDS: single FS field at slot 2 (m_encode_zero, :574-579)
+    # zero-run CDS: single FS field at slot 0 (m_encode_zero, :574-579)
     zslot = (i_idx == 0) & zero_emit[:, None]
     mid_w = xp.where(zslot, zero_fsval[:, None] + u32(1), mid_w)
     mid_v = xp.where(zslot, u32(1), mid_v)
 
-    # ---- slots 2+bs..2+2bs: split k-LSB planes (emitblock, :144-233) ------
+    # ---- lsb lane: split k-LSB planes (emitblock, :144-233) --------------
     kmask = xp.where(ku > 0, (u32(1) << ku) - u32(1), u32(0))
     lsb_active = is_split[:, None] & sample_active & (ku > 0)
     lsb_w = xp.where(lsb_active, ku, u32(0))
     lsb_v = xp.where(lsb_active, d_blk & kmask, u32(0))
 
-    widths = xp.concatenate([id_w[:, None], ref_w[:, None], mid_w, lsb_w], axis=1)
-    values = xp.concatenate([id_v[:, None], ref_v[:, None], mid_v, lsb_v], axis=1)
+    widths = xp.stack([hdr_w, mid_w, lsb_w], axis=1).reshape(NB, 3 * bs)
+    values = xp.stack([hdr_v, mid_v, lsb_v], axis=1).reshape(NB, 3 * bs)
     return widths, values
 
 
 def se_pair_fs(xp, d_blk):
-    """Per-pair SE fs values scattered on even sample slots would need the
-    exact (non-saturated) values; SE is only chosen when every pair is small
+    """Per-pair SE fs values; SE is only chosen when every pair is small
     (sum < 128), so the u32 computation below is exact in that case."""
     u32 = xp.uint32
     a = d_blk[:, 0::2]

@@ -96,8 +96,8 @@ def k_walk_maps(B, Fhi, Flo, Lhi, Llo, this_bs, kmax, searched):
     # A(k): ascent stops at k. Shift L left to get L(k+1); last column pads
     # with "stop" (A := True for k == KW-1, subsumed by k >= kmax since
     # kmax <= 29 < 31).
-    Lhi1 = xp.concatenate([Lhi[:, 1:], Lhi[:, -1:]], axis=1)
-    Llo1 = xp.concatenate([Llo[:, 1:], Llo[:, -1:]], axis=1)
+    Lhi1 = xp.pad(Lhi, ((0, 0), (0, 1)), mode="edge")[:, 1:]
+    Llo1 = xp.pad(Llo, ((0, 0), (0, 1)), mode="edge")[:, 1:]
     ge_next = ~_pair_less(Lhi1, Llo1, Lhi, Llo)  # L(k+1) >= L(k)
     A = (kk >= xp.int32(kmax)) | ge_next
 
@@ -108,15 +108,15 @@ def k_walk_maps(B, Fhi, Flo, Lhi, Llo, this_bs, kmax, searched):
     fs_small = (Fhi == 0) & (Flo < this_bs[:, None].astype(xp.uint32))
 
     # L(j-1) < L(j): shift right; column 0 unused (C(0) forced False by j>0)
-    Lhim1 = xp.concatenate([Lhi[:, :1], Lhi[:, :-1]], axis=1)
-    Llom1 = xp.concatenate([Llo[:, :1], Llo[:, :-1]], axis=1)
+    Lhim1 = xp.pad(Lhi, ((0, 0), (1, 0)), mode="edge")[:, :-1]
+    Llom1 = xp.pad(Llo, ((0, 0), (1, 0)), mode="edge")[:, :-1]
     prev_lt = _pair_less(Lhim1, Llom1, Lhi, Llo)  # L(j-1) < L(j)
 
     C = (kk > 0) & fs_small & prev_lt
     # maxdown table: cm[j] = max{i <= j : !C(i)}; !C(0) always true
     cm = B.cummax(xp.where(~C, kk, xp.int32(-1)), axis=-1)
     # evaluated at k0-1:
-    cm_m1 = xp.concatenate([xp.zeros((NB, 1), xp.int32), cm[:, :-1]], axis=1)
+    cm_m1 = xp.pad(cm, ((0, 0), (1, 0)))[:, :-1]
     prev_lt_at_k0 = prev_lt  # prev_lt[k0] is exactly L(k0-1) < L(k0)
 
     res_down = xp.where(prev_lt_at_k0, cm_m1, kk)

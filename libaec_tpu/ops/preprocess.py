@@ -18,7 +18,9 @@ def delta_map_unsigned(xp, x, xmax):
     Semantics of encode.c:255-269.
     """
     u32 = xp.uint32
-    xprev = xp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    # shift-right-by-one with edge replication; jnp.pad compiles to cheap
+    # lane ops on TPU where an unaligned concatenate does not
+    xprev = xp.pad(x, ((0, 0), (1, 0)), mode="edge")[:, :-1]
     ge = x >= xprev
     D = xp.where(ge, x - xprev, xprev - x)
     two = u32(2)
@@ -40,7 +42,7 @@ def delta_map_signed(xp, x_raw, bits_per_sample, xmax, xmin):
     m = u32((1 << (bits_per_sample - 1)) & 0xFFFFFFFF)
     # sign extension (x ^ m) - m, evaluated in uint32, viewed as int32
     sx = ((x_raw ^ m) - m).astype(i32)
-    sxprev = xp.concatenate([sx[:, :1], sx[:, :-1]], axis=1)
+    sxprev = xp.pad(sx, ((0, 0), (1, 0)), mode="edge")[:, :-1]
     # xmax/xmin arrive as u32 bit patterns; reinterpret as int32
     sxmax = (xp.zeros((), dtype=xp.uint32) + u32(xmax)).astype(i32)
     sxmin = (xp.zeros((), dtype=xp.uint32) + u32(xmin)).astype(i32)

@@ -26,9 +26,8 @@ def zero_run_info(B, z, nb, pp):
     seg_first = (b % 64) == 0
     seg_last = ((b % 64) == 63) | (b == nb - 1)
 
-    zfalse = xp.zeros_like(z[:, :1])
-    zprev = xp.concatenate([zfalse, z[:, :-1]], axis=1)
-    znext = xp.concatenate([z[:, 1:], zfalse], axis=1)
+    zprev = xp.pad(z, ((0, 0), (1, 0)))[:, :-1]
+    znext = xp.pad(z, ((0, 0), (0, 1)))[:, 1:]
 
     run_start = z & (seg_first | ~zprev)
     run_end = z & (seg_last | ~znext)

@@ -1,0 +1,112 @@
+"""Streaming equivalence: any input/output chunking must produce exactly the
+one-shot bytes (reference: encode_decode_small's 1-byte torture,
+tests/check_aec.c:59-200)."""
+import numpy as np
+import pytest
+
+import gen
+from libaec_tpu import Config, encode_buffer
+from libaec_tpu.decode import decode_buffer_status
+from libaec_tpu.stream import (
+    AecStream,
+    aec_decode,
+    aec_decode_init,
+    aec_encode,
+    aec_encode_end,
+    aec_encode_init,
+)
+from libaec_tpu.constants import (
+    AEC_DATA_MSB,
+    AEC_DATA_PREPROCESS,
+    AEC_FLUSH,
+    AEC_NO_FLUSH,
+    AEC_OK,
+)
+
+
+CASES = [
+    (8, 8, 2, AEC_DATA_PREPROCESS, "lowentropy"),
+    (16, 16, 4, AEC_DATA_MSB | AEC_DATA_PREPROCESS, "zero_runs"),
+    (8, 8, 2, 0, "random"),
+]
+
+
+@pytest.mark.parametrize("bps,bs,rsi,flags,kind", CASES)
+def test_encode_byte_dribble(bps, bs, rsi, flags, kind):
+    rng = np.random.default_rng(bps)
+    n = 3 * rsi * bs + 5
+    vals = gen.gen_values(rng, n, bps, False, kind)
+    data = gen.pack_samples(vals, bps, flags)
+    cfg = Config(bps, bs, rsi, flags)
+    oneshot = encode_buffer(data, cfg)
+
+    s = AecStream(bps, bs, rsi, flags)
+    assert aec_encode_init(s) == AEC_OK
+    out = bytearray()
+    for i in range(len(data)):
+        s.next_in = data[i : i + 1]
+        s.avail_in = 1
+        s.next_out = out
+        s.avail_out = 1  # 1-byte output dribble
+        assert aec_encode(s, AEC_NO_FLUSH) == AEC_OK
+    s.next_in = b""
+    s.avail_in = 0
+    while True:
+        s.next_out = out
+        s.avail_out = 1
+        before = len(out)
+        aec_encode(s, AEC_FLUSH)
+        if len(out) == before:
+            break
+    assert aec_encode_end(s) == AEC_OK
+    assert bytes(out) == oneshot
+
+
+@pytest.mark.parametrize("bps,bs,rsi,flags,kind", CASES)
+def test_decode_byte_dribble(bps, bs, rsi, flags, kind):
+    rng = np.random.default_rng(bps + 1)
+    n = 3 * rsi * bs + 5
+    vals = gen.gen_values(rng, n, bps, False, kind)
+    data = gen.pack_samples(vals, bps, flags)
+    cfg = Config(bps, bs, rsi, flags)
+    enc = encode_buffer(data, cfg)
+    st, oneshot = decode_buffer_status(enc, cfg, len(data))
+    assert st == AEC_OK
+
+    s = AecStream(bps, bs, rsi, flags)
+    aec_decode_init(s)
+    out = bytearray()
+    for i in range(len(enc)):
+        s.next_in = enc[i : i + 1]
+        s.avail_in = 1
+        s.next_out = out
+        s.avail_out = max(0, len(data) - len(out))
+        aec_decode(s, AEC_NO_FLUSH)
+    assert bytes(out) == oneshot
+
+
+def test_encode_chunk_sizes_equivalent():
+    rng = np.random.default_rng(3)
+    flags = AEC_DATA_MSB | AEC_DATA_PREPROCESS
+    cfg = Config(16, 64, 32, flags)
+    vals = gen.gen_values(rng, 11 * cfg.samples_per_rsi + 19, 16, False,
+                          "midentropy")
+    data = gen.pack_samples(vals, 16, flags)
+    oneshot = encode_buffer(data, cfg)
+    for chunk in [1 << 8, 1 << 12, 10 << 20]:
+        s = AecStream(16, 64, 32, flags)
+        aec_encode_init(s)
+        out = bytearray()
+        for i in range(0, len(data), chunk):
+            s.next_in = data[i : i + chunk]
+            s.avail_in = len(s.next_in)
+            s.next_out = out
+            s.avail_out = 1 << 30
+            aec_encode(s, AEC_NO_FLUSH)
+        s.next_in = b""
+        s.avail_in = 0
+        s.next_out = out
+        s.avail_out = 1 << 30
+        aec_encode(s, AEC_FLUSH)
+        assert aec_encode_end(s) == AEC_OK
+        assert bytes(out) == oneshot
