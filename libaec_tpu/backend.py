@@ -60,7 +60,8 @@ class JaxBackend:
         # (remote) compile cost for repeated tool/test/bench invocations.
         cache_dir = os.environ.get(
             "LIBAEC_TPU_JAX_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "libaec_tpu_jax"),
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         f"libaec_tpu_jax_{jax.default_backend()}"),
         )
         try:
             jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -176,7 +176,10 @@ def pack_fields_grouped(B, widths, values, bit0, local_words, nwords,
         cur = jax.lax.dynamic_slice(buf, (o,), (GW1,))
         return jax.lax.dynamic_update_slice(buf, cur + w, (o,)), None
 
-    buf = jnp.zeros(nwords, dtype=jnp.uint32)
+    # the `& 0` term keeps the carry's device-varying type aligned with the
+    # scanned windows when this runs inside shard_map
+    buf = jnp.zeros(nwords, dtype=jnp.uint32) + (win_shifted[0, 0]
+                                                 & jnp.uint32(0))
     buf, _ = jax.lax.scan(body, buf, (win_shifted, gofs))
     return buf, total_bits
 
