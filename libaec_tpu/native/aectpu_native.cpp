@@ -75,11 +75,11 @@ class BitCursor {
     bool has(size_t n) const { return pos_ + n <= nbits_; }
 
     uint64_t window() const {  // 64 bits MSB-aligned at the cursor
-        const uint8_t* p = buf_.data() + (pos_ >> 3);
-        uint64_t w = (uint64_t)p[0] << 56 | (uint64_t)p[1] << 48 |
-                     (uint64_t)p[2] << 40 | (uint64_t)p[3] << 32 |
-                     (uint64_t)p[4] << 24 | (uint64_t)p[5] << 16 |
-                     (uint64_t)p[6] << 8 | (uint64_t)p[7];
+        uint64_t w;
+        std::memcpy(&w, buf_.data() + (pos_ >> 3), 8);
+#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+        w = __builtin_bswap64(w);
+#endif
         return w << (pos_ & 7);
     }
 

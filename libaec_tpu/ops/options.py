@@ -135,6 +135,8 @@ def chain_k(B, maps, k_init):
              k_out_final: the k leaving the last block, to carry across
              chunk boundaries on the host).
     """
+    if B.name == "jax":
+        return _chain_k_tiled(B, maps, k_init)
     xp = B.xp
     P = B.prefix_compose(maps)
     # incoming k of block b is P[b-1](k_init); block 0 sees k_init itself
@@ -144,6 +146,59 @@ def chain_k(B, maps, k_init):
     k_in = xp.concatenate(
         [xp.asarray(k_init, xp.int32).reshape(1), col[:-1]])
     return k_in, col[-1]
+
+
+def _chain_k_tiled(B, maps, k_init, tile=64):
+    """TPU k-chain: big lane-wise gathers (map composition over the 32-value
+    domain) are slow on the VPU, so the chain is restructured as
+
+      1. per-tile map totals via a `tile`-step scan (small gathers),
+      2. cross-tile prefix composition via log-doubling over [NT, 32],
+      3. a second `tile`-step scan distributing each tile's incoming k.
+
+    Sequential depth is 2*tile + log NT with only [NT]-sized ops per step.
+    """
+    import jax
+
+    xp = B.xp
+    NB = maps.shape[0]
+    NT = -(-NB // tile)
+    pad = NT * tile - NB
+    ident = xp.broadcast_to(xp.arange(KW, dtype=xp.int32)[None, :],
+                            (pad, KW))
+    m = xp.concatenate([maps, ident], axis=0) if pad else maps
+    m = m.reshape(NT, tile, KW)
+
+    # 1. tile-total maps: compose the tile's maps left-to-right
+    tot = xp.broadcast_to(xp.arange(KW, dtype=xp.int32)[None, :], (NT, KW))
+    for s in range(tile):
+        tot = xp.take_along_axis(m[:, s, :], tot, axis=1)
+
+    # 2. exclusive prefix composition across tiles (doubling)
+    P = tot
+    idx = xp.arange(NT, dtype=xp.int32)[:, None]
+    s = 1
+    while s < NT:
+        prev = xp.pad(P[:-s], ((s, 0), (0, 0)))
+        comp = xp.take_along_axis(P, prev, axis=1)
+        P = xp.where(idx >= s, comp, P)
+        s *= 2
+    # incoming k of tile t = P[t-1](k_init)
+    col = xp.take_along_axis(
+        P, xp.broadcast_to(xp.asarray(k_init, xp.int32).reshape(1, 1),
+                           (NT, 1)), axis=1)[:, 0]
+    k_tile_in = xp.concatenate(
+        [xp.asarray(k_init, xp.int32).reshape(1), col[:-1]])
+
+    # 3. walk each tile recording per-block incoming k
+    ks = []
+    k_cur = k_tile_in
+    for s in range(tile):
+        ks.append(k_cur)
+        k_cur = xp.take_along_axis(m[:, s, :], k_cur[:, None], axis=1)[:, 0]
+    k_in = xp.stack(ks, axis=1).reshape(NT * tile)[:NB]
+    k_final = col[-1]
+    return k_in, k_final
 
 
 def se_lengths(xp, d_blk, uncomp_len):
