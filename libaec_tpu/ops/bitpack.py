@@ -83,6 +83,28 @@ def _shift_window_right(xp, win, sh):
     return xp.concatenate([out_main, tail], axis=-1)
 
 
+def _shift_right_words_var(xp, arr, o, max_o):
+    """Shift u32 windows [R, W] right by per-row o words, zero-filling.
+
+    TPU-friendly: per-row dynamic word offsets are applied as a binary
+    decomposition of o -- log2(max_o) static pad/slice shifts gated by
+    elementwise selects -- instead of a lane gather (take_along_axis lowers
+    to a serial per-lane gather on TPU and dominated the whole encode)."""
+    u32 = xp.uint32
+    W = arr.shape[1]
+    b = 0
+    while (1 << b) <= max_o:
+        s = 1 << b
+        if s >= W:
+            shifted = xp.zeros_like(arr)
+        else:
+            shifted = xp.pad(arr, ((0, 0), (s, 0)))[:, :W]
+        bit = ((o >> u32(b)) & u32(1)) != 0
+        arr = xp.where(bit, shifted, arr)
+        b += 1
+    return arr
+
+
 def pack_fields_grouped(B, widths, values, bit0, local_words, nwords,
                         group=64):
     """Scatter-free bit assembly (the TPU path).
@@ -136,29 +158,27 @@ def pack_fields_grouped(B, widths, values, bit0, local_words, nwords,
         block_bits = xp.pad(block_bits, (0, NBp - NB))
 
     # ---- stage B: tree merge into group windows ---------------------------
+    # At each level the right sibling's window is shifted right by the left
+    # sibling's bit length (o words + sh bits) and summed in.  The sub-word
+    # part is two elementwise shifts; the word part uses the gather-free
+    # log-decomposition shifter above.
     lens = block_bits
     levels = group.bit_length() - 1
-    for _ in range(levels):
+    for lvl in range(levels):
         l_win, r_win = win[0::2], win[1::2]
         l_len, r_len = lens[0::2], lens[1::2]
         Wl = l_win.shape[1]
         o = (l_len >> u32(5))[:, None]
         sh = (l_len & u32(31))[:, None]
         W_new = 2 * Wl
-        jj = xp.arange(W_new, dtype=xp.uint32)[None, :]
-        # r window word (j - o) and (j - o - 1), gathered with clipping
-        idx = jj - o
-        idx_m1 = idx - u32(1)
-        valid = (jj >= o)
-        valid_m1 = (jj >= o + u32(1))
         r_pad = xp.pad(r_win, ((0, 0), (0, W_new - Wl)))
-        g1 = xp.take_along_axis(
-            r_pad, xp.where(valid, idx, u32(0)).astype(xp.int32), axis=1)
-        g2 = xp.take_along_axis(
-            r_pad, xp.where(valid_m1, idx_m1, u32(0)).astype(xp.int32), axis=1)
-        contrib = xp.where(valid, g1 >> sh, u32(0))
-        contrib = contrib + xp.where(
-            (sh > 0) & valid_m1, g2 << ((u32(32) - sh) & u32(31)), u32(0))
+        # bit shift right by sh with carry from the previous word
+        prev = xp.pad(r_pad, ((0, 0), (1, 0)))[:, :-1]
+        rb = (r_pad >> sh) | xp.where(
+            sh == 0, u32(0), prev << ((u32(32) - sh) & u32(31)))
+        # word shift right by o; l_len <= 2^lvl blocks * 32*(local_words-1)
+        max_o = min(W_new, (1 << lvl) * (local_words - 1))
+        contrib = _shift_right_words_var(xp, rb, o, max_o)
         win = xp.pad(l_win, ((0, 0), (0, W_new - Wl))) + contrib
         lens = l_len + r_len
 
