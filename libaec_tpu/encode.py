@@ -88,10 +88,13 @@ def pipeline_fields(B, cfg, x, nb, k_init):
 
 
 def worst_case_bits_per_block(cfg):
-    """Upper bound on one block's emitted CDS bits: the selected option never
-    exceeds the uncompressed CDS, plus id and reference sample."""
-    return cfg.id_len + 1 + cfg.bits_per_sample + (
-        cfg.block_size * cfg.bits_per_sample)
+    """Upper bound on one block's emitted CDS bits: id + reference sample +
+    the larger of the uncompressed payload and a zero-run FS field.  A zero
+    run emitted mid-segment can span 63 blocks (fsval 63 -> 64-bit unary
+    field, encode.c:574-579), which exceeds block_size*bps for small
+    blocks/narrow samples."""
+    return cfg.id_len + 1 + cfg.bits_per_sample + max(
+        cfg.block_size * cfg.bits_per_sample, 64)
 
 
 def encode_blocks_core(B, cfg, x, nb, k_init, bit0):
