@@ -116,6 +116,8 @@ def _jax_chunk_fn(cfg, n_rsi, nb):
     key = (cfg, n_rsi, nb)
     fn = _JIT_CACHE.get(key)
     if fn is None:
+        import os
+
         import jax
 
         B = _backend.jax_backend()
@@ -126,13 +128,30 @@ def _jax_chunk_fn(cfg, n_rsi, nb):
         gw1 = group * (local_words + 1) + 1
         nwords = (NB * worst + 8) // 32 + gw1 + 2
 
-        def chunk(x, k_init, bit0):
-            w, v, k_final = pipeline_fields(B, cfg, x, nb, k_init)
-            w = w.reshape(NB, -1)
-            v = v.reshape(NB, -1)
-            words, total_bits = bitpack.pack_fields_grouped(
-                B, w, v, bit0, local_words, nwords, group)
-            return words, total_bits, k_final
+        from .kernels import encode_pallas as _ep
+
+        use_pallas = (
+            nb == cfg.rsi
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("LIBAEC_TPU_NO_PALLAS")
+            and _ep.kernel_supported(cfg, n_rsi)
+        )
+
+        if use_pallas:
+            def chunk(x, k_init, bit0):
+                win, bbits, k_final = _ep.encode_chunk_fields_pallas(
+                    cfg, x, k_init)
+                words, total_bits = bitpack.merge_block_windows(
+                    B, win, bbits, bit0, local_words, nwords, group)
+                return words, total_bits, k_final
+        else:
+            def chunk(x, k_init, bit0):
+                w, v, k_final = pipeline_fields(B, cfg, x, nb, k_init)
+                w = w.reshape(NB, -1)
+                v = v.reshape(NB, -1)
+                words, total_bits = bitpack.pack_fields_grouped(
+                    B, w, v, bit0, local_words, nwords, group)
+                return words, total_bits, k_final
 
         fn = jax.jit(chunk)
         _JIT_CACHE[key] = fn
@@ -217,7 +236,10 @@ def encode_buffer(data, cfg: Config, backend=None, rsis_per_chunk=None):
         pad = nb_tail * cfg.block_size - rem
         if pad:
             tail = np.concatenate([tail, np.full(pad, tail[-1], np.uint32)])
-        packed, bits, run_chunk.k = run_chunk(
-            tail.reshape(1, nb_tail * cfg.block_size), nb_tail)
+        # the sub-RSI tail is tiny: route it to numpy rather than paying a
+        # jit specialisation on its odd shape
+        packed, bits, run_chunk.k = encode_blocks_core(
+            _backend.NUMPY, cfg, tail.reshape(1, nb_tail * cfg.block_size),
+            nb_tail, run_chunk.k, out.bits % 8)
         out.append(packed, bits)
     return out.finish()

@@ -1,0 +1,412 @@
+"""Fused Pallas encode kernel: samples -> per-block packed bit windows.
+
+One kernel pass fuses the entire per-block encode pipeline that the XLA path
+spreads over ~10 HBM round-trips (ops/preprocess.py, ops/options.py,
+ops/zeroruns.py, ops/fields.py and stage A of ops/bitpack.py):
+
+  raw u32 samples (transposed [block_size, NB])
+    -> unit-delay predictor / sign mapper     (encode.c:235-311 semantics)
+    -> fs-length tables for all k             (block_fs, encode.c:313-327)
+    -> warm-start k maps                      (assess_splitting_option,
+                                               encode.c:329-410)
+    -> the sequential k chain, run in-kernel: the TPU grid is sequential,
+       so the carry lives in SMEM scratch across grid steps
+    -> second-extension / zero-run / option select (encode.c:412-434,
+                                               565-659, 585-612)
+    -> bit-field expansion + per-block local pack (emit* equivalents,
+                                               encode.c:61-233)
+  -> outputs: win u32 [W0, NB] per-block windows, block_bits u32 [1, NB],
+     k_final i32 -- ops/bitpack.merge_block_windows assembles the stream.
+
+Layout: samples on sublanes (block_size rows), blocks on lanes.  Each grid
+step processes R whole RSIs (nbT = R*rsi lanes); RSI and 64-block-segment
+structure is static per lane, so all zero-run / reference-sample
+propagation uses static masks with log-step lane rolls.
+
+Everything is uint32/int32 VPU arithmetic; the single scalar-sequential
+piece (the k warm-start chain, state->k in encode.c:369) runs as a
+fori_loop over lanes with dynamic-sublane indexing on a transposed map
+table -- ~nbT scalar steps per tile, overlapping nothing but itself.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import KW
+
+U32_MAX = 0xFFFFFFFF
+
+
+def _pair_less(h1, l1, h2, l2):
+    return (h1 < h2) | ((h1 == h2) & (l1 < l2))
+
+
+def _roll_lanes(v, shift):
+    """Circular roll along the lane (last) axis by a static shift."""
+    n = v.shape[-1]
+    return pltpu.roll(v, shift % n, axis=v.ndim - 1)
+
+
+def _shift_down_subl(v, s, fill=0):
+    """Shift rows down by s (row i <- row i-s), filling the top with
+    `fill`."""
+    top = jnp.full((s,) + v.shape[1:], fill, v.dtype)
+    return jnp.concatenate([top, v[:-s]], axis=0)
+
+
+def _shift_up_subl(v, s, fill=0):
+    bot = jnp.full((s,) + v.shape[1:], fill, v.dtype)
+    return jnp.concatenate([v[s:], bot], axis=0)
+
+
+def _cumsum_subl(v, n):
+    """Inclusive cumsum along the sublane axis via log-doubling."""
+    s = 1
+    while s < n:
+        v = v + _shift_down_subl(v, s)
+        s *= 2
+    return v
+
+
+def encode_tile_kernel(
+    # prefetch-style scalar input
+    k0_ref,
+    # tensor input
+    xt_ref,
+    # outputs
+    win_ref, bbits_ref, kfin_ref,
+    # scratch
+    kcarry, maps_s, chosen_s,
+    *, cfg, nbT, K_dom, W0,
+):
+    u32, i32 = jnp.uint32, jnp.int32
+    bs = cfg.block_size
+    bps = cfg.bits_per_sample
+    rsi = cfg.rsi
+    id_len = cfg.id_len
+    kmax = cfg.kmax
+    pp = cfg.preprocess
+    bps_mask = u32((1 << bps) - 1 if bps < 32 else U32_MAX)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        kcarry[0] = k0_ref[0, 0]
+
+    x = xt_ref[:]  # u32 [bs, nbT]
+
+    lane = jax.lax.broadcasted_iota(i32, (1, nbT), 1)
+    sub = jax.lax.broadcasted_iota(i32, (bs, nbT), 0)
+    b_in_rsi = lane % rsi          # static per lane (tiles are whole RSIs)
+    seg_off = b_in_rsi % 64
+
+    # ---- preprocessor (encode.c:235-311) ---------------------------------
+    if pp:
+        prev_last = _roll_lanes(x[bs - 1:bs, :], 1)
+        xprev = jnp.concatenate([prev_last, x[:bs - 1, :]], axis=0)
+        if cfg.signed:
+            m = u32((1 << (bps - 1)) & U32_MAX)
+            sx = ((x ^ m) - m).astype(i32)
+            sxp = ((xprev ^ m) - m).astype(i32)
+            sxmax = jnp.asarray(cfg.xmax, u32).astype(i32)
+            sxmin = jnp.asarray(cfg.xmin, u32).astype(i32)
+            lt = sx < sxp
+            D = jnp.where(lt, sxp - sx, sx - sxp).astype(u32)
+            d_lt = jnp.where(D <= (sxmax - sxp).astype(u32),
+                             u32(2) * D - u32(1), (sxmax - sx).astype(u32))
+            d_ge = jnp.where(D <= (sxp - sxmin).astype(u32),
+                             u32(2) * D, (sx - sxmin).astype(u32))
+            d = jnp.where(lt, d_lt, d_ge)
+        else:
+            xmax = u32(cfg.xmax)
+            ge = x >= xprev
+            D = jnp.where(ge, x - xprev, xprev - x)
+            d_ge = jnp.where(D <= xprev, u32(2) * D, x)
+            d_lt = jnp.where(D <= xmax - xprev, u32(2) * D - u32(1),
+                             xmax - x)
+            d = jnp.where(ge, d_ge, d_lt)
+        # first sample of each RSI is the reference; d := 0 there
+        d = jnp.where((sub == 0) & (b_in_rsi == 0), u32(0), d)
+        ref_lane = b_in_rsi == 0                       # static
+    else:
+        d = x
+        ref_lane = jnp.zeros((1, nbT), bool)
+
+    refu = ref_lane.astype(u32)
+    this_bs = u32(bs) - refu                           # [1, nbT]
+    ub = this_bs * u32(bps)
+
+    # reference-sample propagation: lane b receives x[0] of its RSI start.
+    # b_in_rsi is static, so each doubling step uses a static select mask.
+    refprop = x[0:1, :]
+    if pp:
+        s = 1
+        while s < rsi:
+            refprop = jnp.where((b_in_rsi & s) != 0,
+                                _roll_lanes(refprop, s), refprop)
+            s *= 2
+
+    # ---- zero-block runs (m_check_zero_block, encode.c:614-659) ----------
+    nz = jnp.sum((d != u32(0)).astype(u32), axis=0, keepdims=True)
+    z = nz == u32(0)                                   # [1, nbT]
+    seg_first = seg_off == 0
+    seg_last = (seg_off == 63) | (b_in_rsi == rsi - 1)
+    zprev = jnp.where(b_in_rsi == 0, False, _roll_lanes(z, 1))
+    znext = jnp.where(b_in_rsi == rsi - 1, False, _roll_lanes(z, -1))
+    run_start = z & (seg_first | ~zprev)
+    run_end = z & (seg_last | ~znext)
+    sval = jnp.where(run_start, b_in_rsi, i32(-1))
+    s = 1
+    while s < 64:
+        sval = jnp.maximum(
+            sval, jnp.where(seg_off >= s, _roll_lanes(sval, s), i32(-1)))
+        s *= 2
+    n_run = b_in_rsi - sval + 1
+    ros = run_end & seg_last & (n_run > 4)
+    zero_fsval = jnp.where(
+        ros, i32(4), jnp.where(n_run >= 5, n_run, n_run - 1)).astype(u32)
+    zero_ref = run_end & (sval == 0) if pp else jnp.zeros((1, nbT), bool)
+    zero_emit = run_end
+
+    # ---- fs tables + candidate lengths (encode.c:313-410) ----------------
+    d_hi = d >> u32(16)
+    fhi_rows, flo_rows = [], []
+    for k in range(K_dom):
+        ku = u32(k)
+        fhi_rows.append(jnp.sum(d_hi >> ku, axis=0, keepdims=True))
+        flo_rows.append(jnp.sum((d >> ku) & u32(0xFFFF), axis=0,
+                                keepdims=True))
+    Fhi = jnp.concatenate(fhi_rows, axis=0)            # [K_dom, nbT]
+    Flo = jnp.concatenate(flo_rows, axis=0)
+    kk = jax.lax.broadcasted_iota(i32, (K_dom, nbT), 0)
+    kku = kk.astype(u32)
+    Llo = Flo + this_bs * (kku + u32(1))
+    Lhi = Fhi + (Llo >> u32(16))
+    Llo = Llo & u32(0xFFFF)
+
+    # ---- warm-start walk as a map over incoming k (encode.c:356-409) -----
+    Lhi1 = jnp.concatenate([Lhi[1:], Lhi[-1:]], axis=0)
+    Llo1 = jnp.concatenate([Llo[1:], Llo[-1:]], axis=0)
+    ge_next = ~_pair_less(Lhi1, Llo1, Lhi, Llo)
+    A = (kk >= kmax) | ge_next
+    up = jnp.where(A, kk, i32(KW))
+    s = 1
+    while s < K_dom:
+        up = jnp.minimum(up, _shift_up_subl(up, s, fill=KW))
+        s *= 2
+    fs_small = (Fhi == u32(0)) & (Flo < this_bs)
+    Lhim1 = jnp.concatenate([Lhi[:1], Lhi[:-1]], axis=0)
+    Llom1 = jnp.concatenate([Llo[:1], Llo[:-1]], axis=0)
+    prev_lt = _pair_less(Lhim1, Llom1, Lhi, Llo)
+    C = (kk > 0) & fs_small & prev_lt
+    cm = jnp.where(~C, kk, i32(-1))
+    s = 1
+    while s < K_dom:
+        cm = jnp.maximum(cm, _shift_down_subl(cm, s, fill=-1))
+        s *= 2
+    cm_m1 = _shift_down_subl(cm, 1, fill=0)
+    res_down = jnp.where(prev_lt, cm_m1, kk)
+    cond_up = (kk == 0) | ~A
+    f = jnp.clip(jnp.where(cond_up, up, res_down), 0, KW - 1)
+    maps = jnp.where(z, kk, f)  # zero blocks skip the search: identity
+
+    # ---- the sequential k chain (state->k, encode.c:369) -----------------
+    maps_s[:] = maps.T.astype(i32)                     # [nbT, K_dom]
+    lane_k = jax.lax.broadcasted_iota(i32, (1, K_dom), 1)
+
+    def chain_body(b, k):
+        row = maps_s[pl.ds(b, 1), :]                   # [1, K_dom]
+        k_next = jnp.sum(jnp.where(lane_k == k, row, 0))
+        chosen_s[pl.ds(b, 1), :] = jnp.full((1, 1), k_next, i32)
+        return k_next
+
+    k_final = jax.lax.fori_loop(0, nbT, chain_body, kcarry[0])
+    kcarry[0] = k_final
+    kfin_ref[0, 0] = k_final
+    chosen = chosen_s[:].T                             # [1, nbT] i32
+
+    # split length at the chosen k, truncated to u32 (encode.c:409)
+    sel = kk == chosen
+    sLhi = jnp.sum(jnp.where(sel, Lhi, u32(0)), axis=0, keepdims=True)
+    sLlo = jnp.sum(jnp.where(sel, Llo, u32(0)), axis=0, keepdims=True)
+    split32 = (sLhi << u32(16)) + sLlo
+
+    # ---- second extension (assess_se_option, encode.c:412-434) -----------
+    d_next = _shift_up_subl(d, 1)
+    dsum = d + d_next
+    even = (sub & 1) == 0
+    small = (dsum >= d) & (dsum < u32(128))
+    fs_exact = (dsum * (dsum + u32(1))) // u32(2) + d_next
+    SAT = u32(1 << 20)
+    fs = jnp.where(small, fs_exact, SAT)
+    total = u32(1) + jnp.sum(jnp.where(even, fs + u32(1), u32(0)), axis=0,
+                             keepdims=True)
+    se_len = jnp.where(total > ub, u32(U32_MAX), total)
+
+    # ---- option select (m_select_code_option, encode.c:585-612) ----------
+    pick_split = (split32 < ub) & (split32 < se_len)
+    pick_uncomp = ~(split32 < ub) & (ub <= se_len)
+    active = ~z
+    is_split = active & pick_split
+    is_unc = active & ~pick_split & pick_uncomp
+    is_se = active & ~pick_split & ~pick_uncomp
+
+    # ---- bit fields (ops/fields.py semantics; encode.c:520-583) ----------
+    ku = jnp.where(chosen > 0, chosen, 0).astype(u32)  # [1, nbT]
+    id_w = jnp.where(
+        is_split | is_unc, u32(id_len),
+        jnp.where(is_se | zero_emit, u32(id_len + 1), u32(0)))
+    id_v = jnp.where(
+        is_split, ku + u32(1),
+        jnp.where(is_unc, u32((1 << id_len) - 1),
+                  jnp.where(is_se, u32(1), u32(0))))
+    ref_here = ((is_split | is_se) & ref_lane) | (zero_emit & zero_ref)
+    ref_w = jnp.where(ref_here, u32(bps), u32(0))
+    ref_v = jnp.where(ref_here, refprop & bps_mask, u32(0))
+
+    sample_active = sub >= refu.astype(i32)
+    split_fs_w = (d >> ku) + u32(1)
+    unc_v = jnp.where((sub == 0) & ref_lane, refprop, d) & bps_mask
+    se_w_full = jnp.where(even, fs_exact + u32(1), u32(0))
+
+    mid_w = jnp.where(
+        is_split & sample_active, split_fs_w,
+        jnp.where(is_unc, u32(bps),
+                  jnp.where(is_se, se_w_full, u32(0))))
+    mid_v = jnp.where(
+        is_split & sample_active, u32(1),
+        jnp.where(is_unc, unc_v,
+                  jnp.where(is_se & (se_w_full > 0), u32(1), u32(0))))
+    zslot = (sub == 0) & zero_emit
+    mid_w = jnp.where(zslot, zero_fsval + u32(1), mid_w)
+    mid_v = jnp.where(zslot, u32(1), mid_v)
+
+    kmask = jnp.where(ku > 0, (u32(1) << ku) - u32(1), u32(0))
+    lsb_on = is_split & sample_active & (ku > 0)
+    lsb_w = jnp.where(lsb_on, ku, u32(0))
+    lsb_v = jnp.where(lsb_on, d & kmask, u32(0))
+
+    # ---- local pack into the per-block window (bitpack stage A) ----------
+    e_h0 = id_w + u32(32)
+    e_h1 = e_h0 + ref_w
+    cum_mid = _cumsum_subl(mid_w, bs)
+    e_mid = cum_mid + e_h1
+    mid_total = e_mid[bs - 1:bs, :]
+    cum_lsb = _cumsum_subl(lsb_w, bs)
+    e_lsb = cum_lsb + mid_total
+    block_bits = e_lsb[bs - 1:bs, :] - u32(32)
+    bbits_ref[0:1, :] = block_bits
+
+    def contribs(e, v):
+        t = e & u32(31)
+        i1 = (e >> u32(5)) - u32(1)
+        i2 = e >> u32(5)
+        c1 = v >> t
+        c2 = jnp.where(t == 0, u32(0), v << ((u32(32) - t) & u32(31)))
+        return i1, c1, i2, c2
+
+    h0 = contribs(e_h0, id_v)
+    h1 = contribs(e_h1, ref_v)
+    mi = contribs(e_mid, mid_v)
+    ls = contribs(e_lsb, lsb_v)
+
+    for w in range(W0):
+        wv = u32(w)
+        acc = jnp.zeros((1, nbT), u32)
+        for i1, c1, i2, c2 in (h0, h1):
+            acc += jnp.where(i1 == wv, c1, u32(0))
+            acc += jnp.where(i2 == wv, c2, u32(0))
+        for i1, c1, i2, c2 in (mi, ls):
+            acc += jnp.sum(jnp.where(i1 == wv, c1, u32(0)), axis=0,
+                           keepdims=True)
+            acc += jnp.sum(jnp.where(i2 == wv, c2, u32(0)), axis=0,
+                           keepdims=True)
+        win_ref[w:w + 1, :] = acc
+
+
+def _pick_tile_rsis(cfg, n_rsi):
+    """Largest R <= n_rsi with R*rsi lanes a multiple of 128 and ~1024
+    lanes per tile; None if no whole-RSI tiling divides n_rsi."""
+    rsi = cfg.rsi
+    best = None
+    R = 1
+    while R <= n_rsi:
+        nbT = R * rsi
+        if n_rsi % R == 0 and nbT % 128 == 0:
+            best = R
+            if nbT >= 1024:
+                break
+        R += 1
+        if R * rsi > (1 << 16):
+            break
+    return best
+
+
+def kernel_supported(cfg, n_rsi):
+    if cfg.id_len <= 1:
+        return False  # splitting disabled; XLA path handles it
+    if cfg.block_size < 8 or cfg.block_size > 64:
+        return False
+    return _pick_tile_rsis(cfg, n_rsi) is not None
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(cfg, n_rsi, interpret):
+    from ..encode import worst_case_bits_per_block
+
+    bs = cfg.block_size
+    NB = n_rsi * cfg.rsi
+    R = _pick_tile_rsis(cfg, n_rsi)
+    nbT = R * cfg.rsi
+    n_tiles = NB // nbT
+    K_dom = cfg.kmax + 1
+    worst = worst_case_bits_per_block(cfg)
+    local_words = (worst + 31) // 32 + 1
+    W0 = local_words + 1
+
+    kern = functools.partial(encode_tile_kernel, cfg=cfg, nbT=nbT,
+                             K_dom=K_dom, W0=W0)
+    call = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bs, nbT), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((W0, nbT), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nbT), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((W0, NB), jnp.uint32),
+            jax.ShapeDtypeStruct((1, NB), jnp.uint32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((nbT, K_dom), jnp.int32),
+            pltpu.VMEM((nbT, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    return call, W0, local_words
+
+
+def encode_chunk_fields_pallas(cfg, x, k_init, interpret=False):
+    """x: u32 [n_rsi, S] -> (win u32 [NB, W0], block_bits u32 [NB],
+    k_final i32 scalar).  Jit-traceable."""
+    n_rsi = x.shape[0]
+    NB = n_rsi * cfg.rsi
+    call, W0, local_words = _build_call(cfg, n_rsi, interpret)
+    xt = x.reshape(NB, cfg.block_size).T
+    k0 = jnp.asarray(k_init, jnp.int32).reshape(1, 1)
+    win, bbits, kfin = call(k0, xt)
+    return win.T, bbits[0], kfin[0, 0]

@@ -150,6 +150,22 @@ def pack_fields_grouped(B, widths, values, bit0, local_words, nwords,
         acc = acc + xp.where(i2 == wv, c2, u32(0)).sum(axis=1, dtype=xp.uint32)
         cols.append(acc)
     win = xp.stack(cols, axis=1)  # [NB, W0]
+    return merge_block_windows(B, win, block_bits, bit0, local_words, nwords,
+                               group)
+
+
+def merge_block_windows(B, win, block_bits, bit0, local_words, nwords,
+                        group=64):
+    """Stages B+C of the grouped packer: merge per-block bit windows
+    (win u32 [NB, local_words+1], front pad word included; block_bits u32
+    [NB]) into the packed word stream.  Shared by the XLA stage-A path and
+    the Pallas encode kernel (which produces the windows on-chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    xp = B.xp
+    u32 = xp.uint32
+    NB = win.shape[0]
 
     # pad block count to a multiple of `group` with empty windows
     NBp = -(-NB // group) * group
