@@ -47,6 +47,9 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_size_t),       # out_written
                 ctypes.c_uint, ctypes.c_uint, ctypes.c_uint, ctypes.c_uint,
             ]
+            lib.aectpu_decode_parallel.restype = ctypes.c_int
+            lib.aectpu_decode_parallel.argtypes = (
+                lib.aectpu_decode.argtypes + [ctypes.c_int])
             _lib = lib
         except Exception:
             _build_failed = True
@@ -54,18 +57,32 @@ def get_lib():
     return _lib
 
 
-def decode(data: bytes, out_cap: int, cfg):
-    """Scalar native decode. Returns (status, bytes)."""
+def decode(data: bytes, out_cap: int, cfg, threads=None):
+    """Native decode. Returns (status, bytes).
+
+    Large buffers use the two-phase parallel path (structural scan + per-RSI
+    worker threads, bit-identical to the scalar core by construction)."""
     lib = get_lib()
     if lib is None:
         return None
     out = ctypes.create_string_buffer(max(out_cap, 1))
     written = ctypes.c_size_t(0)
     inbuf = ctypes.create_string_buffer(bytes(data), max(len(data), 1))
-    status = lib.aectpu_decode(
-        ctypes.cast(inbuf, ctypes.c_void_p), len(data),
-        ctypes.cast(out, ctypes.c_void_p), out_cap,
-        ctypes.byref(written),
-        cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
-    )
+    if threads is None:
+        threads = os.cpu_count() or 1 if len(data) >= (1 << 20) else 1
+    if threads > 1:
+        status = lib.aectpu_decode_parallel(
+            ctypes.cast(inbuf, ctypes.c_void_p), len(data),
+            ctypes.cast(out, ctypes.c_void_p), out_cap,
+            ctypes.byref(written),
+            cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
+            threads,
+        )
+    else:
+        status = lib.aectpu_decode(
+            ctypes.cast(inbuf, ctypes.c_void_p), len(data),
+            ctypes.cast(out, ctypes.c_void_p), out_cap,
+            ctypes.byref(written),
+            cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
+        )
     return status, out.raw[: written.value]

@@ -15,9 +15,11 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libaectpu.so aectpu_native.cpp
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -59,15 +61,23 @@ struct Params {
     bool pp() const { return flags & FLAG_PREPROCESS; }
 };
 
-// MSB-first bit cursor over a zero-padded copy of the input.  The pad lets
-// 64-bit window loads run past the logical end; logical exhaustion is
+// Owns a zero-padded copy of the input so 64-bit window loads can run past
+// the logical end; shared read-only by all cursors (incl. worker threads).
+struct PaddedInput {
+    PaddedInput(const uint8_t* data, size_t len) : nbits(8 * len) {
+        buf.resize(len + 16, 0);
+        if (len) std::memcpy(buf.data(), data, len);
+    }
+    std::vector<uint8_t> buf;
+    size_t nbits;
+};
+
+// MSB-first bit cursor over a PaddedInput view; logical exhaustion is
 // checked against nbits explicitly.
 class BitCursor {
   public:
-    BitCursor(const uint8_t* data, size_t len) : nbits_(8 * len) {
-        buf_.resize(len + 16, 0);
-        if (len) std::memcpy(buf_.data(), data, len);
-    }
+    BitCursor(const PaddedInput& in, size_t start_bit = 0)
+        : buf_(in.buf.data()), nbits_(in.nbits), pos_(start_bit) {}
 
     size_t pos() const { return pos_; }
     void seek(size_t p) { pos_ = p; }
@@ -76,7 +86,7 @@ class BitCursor {
 
     uint64_t window() const {  // 64 bits MSB-aligned at the cursor
         uint64_t w;
-        std::memcpy(&w, buf_.data() + (pos_ >> 3), 8);
+        std::memcpy(&w, buf_ + (pos_ >> 3), 8);
 #if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
         w = __builtin_bswap64(w);
 #endif
@@ -115,10 +125,45 @@ class BitCursor {
         }
     }
 
+    // Skip `count` whole FS codes (advance just past the count-th 1 bit).
+    // Bulk path for the structural scan: popcount per window instead of a
+    // clz per code.  Returns false if the stream ends first.
+    bool skip_fs(uint32_t count) {
+        while (count) {
+            if (pos_ >= nbits_) return false;
+            uint64_t w = window();
+            unsigned vbits = 64 - (unsigned)(pos_ & 7);
+            size_t avail = nbits_ - pos_;
+            if (avail < vbits) vbits = (unsigned)avail;
+            if (vbits < 64) w &= ~0ull << (64 - vbits);
+            unsigned pc = (unsigned)__builtin_popcountll(w);
+            if (pc < count) {
+                if (avail <= vbits) { pos_ = nbits_; return false; }
+                count -= pc;
+                pos_ += vbits;
+            } else {
+#ifdef __BMI2__
+                // count-th set bit from MSB == (pc-count+1)-th from LSB
+                uint64_t bit = __builtin_ia32_pdep_di(1ull << (pc - count), w);
+                unsigned from_msb = 63 - (unsigned)__builtin_ctzll(bit);
+#else
+                unsigned from_msb = 0;
+                uint64_t ww = w;
+                for (unsigned j = 1; j < count; j++)
+                    ww &= ~(0x8000000000000000ull >> __builtin_clzll(ww));
+                from_msb = (unsigned)__builtin_clzll(ww);
+#endif
+                pos_ += from_msb + 1;
+                return true;
+            }
+        }
+        return true;
+    }
+
   private:
-    std::vector<uint8_t> buf_;
+    const uint8_t* buf_;
     size_t nbits_;
-    size_t pos_ = 0;
+    size_t pos_;
 };
 
 // Output writer: converts decoded uint32 samples to the byte layout.
@@ -255,28 +300,24 @@ class Unpredictor {
     int32_t last_ = 0;
 };
 
-}  // namespace
-
-extern "C" {
-
-// Full scalar decode.  Returns an AEC status code; *out_written receives the
-// number of bytes produced.  Truncation semantics match the reference: decode
-// proceeds until input bits or output capacity run out, whole samples only.
-int aectpu_decode(const uint8_t* in, size_t in_len, uint8_t* out,
-                  size_t out_cap, size_t* out_written,
-                  unsigned bits_per_sample, unsigned block_size, unsigned rsi,
-                  unsigned flags) {
-    Params p{bits_per_sample, block_size, rsi, flags};
-    if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
-
+// Full scalar decode starting at an arbitrary bit offset (RSI-start state).
+// Returns an AEC status code; *out_written receives the bytes produced.
+// Truncation semantics match the reference: decode proceeds until input bits
+// or output capacity run out, whole samples only.
+static int decode_core(const PaddedInput& input, uint64_t start_bit,
+                       uint8_t* out, size_t out_cap, size_t* out_written,
+                       const Params& p) {
     const int id_len = p.id_len();
     const int bsz = p.bytes_per_sample();
-    const unsigned bs = block_size;
+    const unsigned bs = p.block_size;
+    const unsigned rsi = p.rsi;
+    const unsigned bits_per_sample = p.bits_per_sample;
+    const unsigned flags = p.flags;
     const size_t S = (size_t)rsi * bs;
     const uint32_t uncomp_id = (1u << id_len) - 1;
     const bool pp = p.pp();
 
-    BitCursor bits(in, in_len);
+    BitCursor bits(input, start_bit);
     SampleWriter w(out, out_cap, bsz, flags & FLAG_MSB);
     Unpredictor up(p);
 
@@ -408,6 +449,157 @@ done:
     if (status == AEC_OK) flush();
     *out_written = w.written();
     return status;
+}
+
+}  // namespace
+
+extern "C" {
+
+int aectpu_decode(const uint8_t* in, size_t in_len, uint8_t* out,
+                  size_t out_cap, size_t* out_written,
+                  unsigned bits_per_sample, unsigned block_size, unsigned rsi,
+                  unsigned flags) {
+    Params p{bits_per_sample, block_size, rsi, flags};
+    if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
+    PaddedInput input(in, in_len);
+    return decode_core(input, 0, out, out_cap, out_written, p);
+}
+
+// Two-phase parallel decode: a structural scan finds RSI start bits (exact
+// mirror of decode_core's bit consumption), worker threads decode whole
+// validated RSIs concurrently (RSIs are self-contained: the predictor
+// reference restarts at each RSI, decode.c:410-413), and the serial core
+// finishes the tail to preserve truncation/error semantics bit-exactly.
+// The scan overlaps the workers: workers claim RSIs as they are published.
+int aectpu_decode_parallel(const uint8_t* in, size_t in_len, uint8_t* out,
+                           size_t out_cap, size_t* out_written,
+                           unsigned bits_per_sample, unsigned block_size,
+                           unsigned rsi, unsigned flags, int n_threads) {
+    Params p{bits_per_sample, block_size, rsi, flags};
+    if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
+    const size_t S = (size_t)rsi * block_size;
+    const size_t rsi_bytes = S * (size_t)p.bytes_per_sample();
+    PaddedInput input(in, in_len);
+
+    const size_t cap_rsis = out_cap / rsi_bytes;
+    if (n_threads < 1) n_threads = 1;
+    if (cap_rsis < 4 || n_threads == 1) {
+        return decode_core(input, 0, out, out_cap, out_written, p);
+    }
+
+    std::vector<uint64_t> offsets;
+    offsets.reserve(cap_rsis + 1);
+    std::atomic<size_t> published{0};
+    std::atomic<bool> scan_done{false};
+    std::atomic<size_t> next_claim{0};
+
+    auto worker = [&]() {
+        for (;;) {
+            size_t i = next_claim.fetch_add(1, std::memory_order_relaxed);
+            while (i >= published.load(std::memory_order_acquire)) {
+                if (scan_done.load(std::memory_order_acquire) &&
+                    i >= published.load(std::memory_order_acquire))
+                    return;
+                std::this_thread::yield();
+            }
+            size_t wr = 0;
+            decode_core(input, offsets[i], out + i * rsi_bytes, rsi_bytes,
+                        &wr, p);
+        }
+    };
+
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads - 1; t++) threads.emplace_back(worker);
+
+    // scan on this thread, publishing offsets as they validate
+    {
+        const int id_len = p.id_len();
+        const unsigned bs = block_size;
+        const unsigned bps = bits_per_sample;
+        const uint32_t uncomp_id = (1u << id_len) - 1;
+        const bool pp = p.pp();
+        BitCursor bits(input, 0);
+        while (published.load(std::memory_order_relaxed) < cap_rsis) {
+            uint64_t rsi_start = bits.pos();
+            if (flags & FLAG_PAD_RSI) bits.seek((bits.pos() + 7) & ~7ull);
+            size_t rsip = 0;
+            bool ok = true;
+            while (rsip < S) {
+                bool ref = pp && rsip == 0;
+                if (!bits.has(id_len)) { ok = false; break; }
+                uint32_t id = bits.get(id_len);
+                if (id == 0) {
+                    if (!bits.has(1)) { ok = false; break; }
+                    uint32_t sub = bits.get(1);
+                    if (ref) {
+                        if (!bits.has(bps)) { ok = false; break; }
+                        bits.seek(bits.pos() + bps);
+                        rsip++;
+                    }
+                    if (sub == 1) {
+                        // bs/2 SE codes covering bs - ref samples; an
+                        // overrun in the incremental decode surfaces here as
+                        // a pre-check (either way the scan stops and the
+                        // serial tail replays the exact behaviour)
+                        unsigned n_smp = bs - (ref ? 1 : 0);
+                        if (S - rsip < n_smp) { ok = false; break; }
+                        if (!bits.skip_fs(bs / 2)) { ok = false; break; }
+                        rsip += n_smp;
+                    } else {
+                        uint32_t fs;
+                        if (!bits.get_fs(&fs)) { ok = false; break; }
+                        uint32_t zb = fs + 1;
+                        if (zb == 5) {
+                            uint32_t b = (uint32_t)(rsip / bs);
+                            uint32_t rest_rsi = rsi - b;
+                            uint32_t rest_seg = 64 - (b % 64);
+                            zb = rest_rsi < rest_seg ? rest_rsi : rest_seg;
+                        } else if (zb > 5) {
+                            zb--;
+                        }
+                        size_t n = (size_t)zb * bs - (ref ? 1 : 0);
+                        if (S - rsip < n) { ok = false; break; }
+                        rsip += n;
+                    }
+                } else if (id == uncomp_id) {
+                    if (!bits.has((size_t)bs * bps)) { ok = false; break; }
+                    bits.seek(bits.pos() + (size_t)bs * bps);
+                    if (S - rsip < bs) { ok = false; break; }
+                    rsip += bs;
+                } else {
+                    int k = (int)id - 1;
+                    if (ref) {
+                        if (!bits.has(bps)) { ok = false; break; }
+                        bits.seek(bits.pos() + bps);
+                        rsip++;
+                    }
+                    unsigned n = bs - (ref ? 1 : 0);
+                    if (S - rsip < n) { ok = false; break; }
+                    if (!bits.skip_fs(n)) { ok = false; break; }
+                    if (!bits.has((size_t)n * k)) { ok = false; break; }
+                    bits.seek(bits.pos() + (size_t)n * k);
+                    rsip += n;
+                }
+            }
+            if (!ok || rsip != S) {
+                bits.seek(rsi_start);  // tail resumes at this RSI
+                break;
+            }
+            offsets.push_back(rsi_start);
+            published.store(offsets.size(), std::memory_order_release);
+        }
+        scan_done.store(true, std::memory_order_release);
+        worker();  // the scan thread joins the decode pool
+        for (auto& t : threads) t.join();
+
+        const size_t n_par = published.load(std::memory_order_relaxed);
+        const size_t done_bytes = n_par * rsi_bytes;
+        size_t tail_wr = 0;
+        int status = decode_core(input, bits.pos(), out + done_bytes,
+                                 out_cap - done_bytes, &tail_wr, p);
+        *out_written = done_bytes + tail_wr;
+        return status;
+    }
 }
 
 }  // extern "C"
