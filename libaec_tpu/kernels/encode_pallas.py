@@ -62,6 +62,13 @@ def _shift_up_subl(v, s, fill=0):
     return jnp.concatenate([v[s:], bot], axis=0)
 
 
+def _sum_u32(v, axis=0):
+    """Sum a u32 array in i32 (Mosaic lacks unsigned reductions; two's
+    complement addition is bit-identical) and bitcast the result back."""
+    return jnp.sum(v.astype(jnp.int32), axis=axis,
+                   keepdims=True).astype(jnp.uint32)
+
+
 def _cumsum_subl(v, n):
     """Inclusive cumsum along the sublane axis via log-doubling."""
     s = 1
@@ -149,12 +156,14 @@ def encode_tile_kernel(
             s *= 2
 
     # ---- zero-block runs (m_check_zero_block, encode.c:614-659) ----------
-    nz = jnp.sum((d != u32(0)).astype(u32), axis=0, keepdims=True)
-    z = nz == u32(0)                                   # [1, nbT]
+    nz = jnp.sum((d != u32(0)).astype(i32), axis=0, keepdims=True)
+    z = nz == 0                                        # [1, nbT]
     seg_first = seg_off == 0
     seg_last = (seg_off == 63) | (b_in_rsi == rsi - 1)
-    zprev = jnp.where(b_in_rsi == 0, False, _roll_lanes(z, 1))
-    znext = jnp.where(b_in_rsi == rsi - 1, False, _roll_lanes(z, -1))
+    # roll i32, not i1: Mosaic has no dynamic_rotate for bool vectors
+    zi = z.astype(i32)
+    zprev = jnp.where(b_in_rsi == 0, 0, _roll_lanes(zi, 1)) != 0
+    znext = jnp.where(b_in_rsi == rsi - 1, 0, _roll_lanes(zi, -1)) != 0
     run_start = z & (seg_first | ~zprev)
     run_end = z & (seg_last | ~znext)
     sval = jnp.where(run_start, b_in_rsi, i32(-1))
@@ -175,9 +184,8 @@ def encode_tile_kernel(
     fhi_rows, flo_rows = [], []
     for k in range(K_dom):
         ku = u32(k)
-        fhi_rows.append(jnp.sum(d_hi >> ku, axis=0, keepdims=True))
-        flo_rows.append(jnp.sum((d >> ku) & u32(0xFFFF), axis=0,
-                                keepdims=True))
+        fhi_rows.append(_sum_u32(d_hi >> ku))
+        flo_rows.append(_sum_u32((d >> ku) & u32(0xFFFF)))
     Fhi = jnp.concatenate(fhi_rows, axis=0)            # [K_dom, nbT]
     Flo = jnp.concatenate(flo_rows, axis=0)
     kk = jax.lax.broadcasted_iota(i32, (K_dom, nbT), 0)
@@ -229,8 +237,8 @@ def encode_tile_kernel(
 
     # split length at the chosen k, truncated to u32 (encode.c:409)
     sel = kk == chosen
-    sLhi = jnp.sum(jnp.where(sel, Lhi, u32(0)), axis=0, keepdims=True)
-    sLlo = jnp.sum(jnp.where(sel, Llo, u32(0)), axis=0, keepdims=True)
+    sLhi = _sum_u32(jnp.where(sel, Lhi, u32(0)))
+    sLlo = _sum_u32(jnp.where(sel, Llo, u32(0)))
     split32 = (sLhi << u32(16)) + sLlo
 
     # ---- second extension (assess_se_option, encode.c:412-434) -----------
@@ -241,8 +249,7 @@ def encode_tile_kernel(
     fs_exact = (dsum * (dsum + u32(1))) // u32(2) + d_next
     SAT = u32(1 << 20)
     fs = jnp.where(small, fs_exact, SAT)
-    total = u32(1) + jnp.sum(jnp.where(even, fs + u32(1), u32(0)), axis=0,
-                             keepdims=True)
+    total = u32(1) + _sum_u32(jnp.where(even, fs + u32(1), u32(0)))
     se_len = jnp.where(total > ub, u32(U32_MAX), total)
 
     # ---- option select (m_select_code_option, encode.c:585-612) ----------
@@ -319,10 +326,8 @@ def encode_tile_kernel(
             acc += jnp.where(i1 == wv, c1, u32(0))
             acc += jnp.where(i2 == wv, c2, u32(0))
         for i1, c1, i2, c2 in (mi, ls):
-            acc += jnp.sum(jnp.where(i1 == wv, c1, u32(0)), axis=0,
-                           keepdims=True)
-            acc += jnp.sum(jnp.where(i2 == wv, c2, u32(0)), axis=0,
-                           keepdims=True)
+            acc += _sum_u32(jnp.where(i1 == wv, c1, u32(0)))
+            acc += _sum_u32(jnp.where(i2 == wv, c2, u32(0)))
         win_ref[w:w + 1, :] = acc
 
 
