@@ -169,6 +169,32 @@ def encode_blocks_jax(cfg, x_np, nb, k_init, bit0):
     return by[4:4 + nbytes], total_bits, int(k_final)
 
 
+def encode_chunks_jax_pipelined(cfg, chunks, k0=0, bit0=0):
+    """Dispatch many whole-RSI chunks back-to-back without host syncs.
+
+    chunks: iterable of u32 [n_rsi, samples_per_rsi] arrays (equal n_rsi
+    gets one compiled program).  The inter-chunk carries -- warm-start k
+    (encode.c:369) and the bit cursor modulo 8 -- stay on the device as
+    traced scalars, so the TPU never waits on the host between chunks.
+
+    Returns (outs, k_final_dev): outs is a list of (words_dev,
+    total_bits_dev) per chunk; the caller materialises bytes afterwards
+    (one transfer per chunk, all compute already queued).
+    """
+    import jax.numpy as jnp
+
+    k = jnp.int32(k0)
+    bits_in_byte = jnp.uint32(bit0)
+    outs = []
+    for x in chunks:
+        fn = _jax_chunk_fn(cfg, x.shape[0], cfg.rsi)
+        words, total_bits, k = fn(x, k, bits_in_byte)
+        # next chunk's leading partial byte: cursor mod 8
+        bits_in_byte = total_bits % jnp.uint32(8)
+        outs.append((words, total_bits))
+    return outs, k
+
+
 class _OutputAssembler:
     """Accumulates chunk outputs, OR-merging the shared boundary byte."""
 
@@ -220,16 +246,31 @@ def encode_buffer(data, cfg: Config, backend=None, rsis_per_chunk=None):
 
     def run_chunk(x_np, nb):
         bit0 = out.bits % 8
-        if use_jax:
-            return encode_blocks_jax(cfg, x_np, nb, run_chunk.k, bit0)
         return encode_blocks_core(B, cfg, x_np, nb, run_chunk.k, bit0)
 
     run_chunk.k = 0
-    for start in range(0, n_full, rsis_per_chunk):
-        cnt = min(rsis_per_chunk, n_full - start)
-        x = samples[start * S:(start + cnt) * S].reshape(cnt, S)
-        packed, bits, run_chunk.k = run_chunk(x, cfg.rsi)
-        out.append(packed, bits)
+    if use_jax and n_full:
+        # pipelined device path: all full-RSI chunks dispatched without
+        # host syncs (k and the bit cursor carried as device scalars)
+        chunks = [
+            samples[s * S:(s + min(rsis_per_chunk, n_full - s)) * S]
+            .reshape(-1, S)
+            for s in range(0, n_full, rsis_per_chunk)
+        ]
+        dev_outs, k_dev = encode_chunks_jax_pipelined(cfg, chunks)
+        for words, total_bits in dev_outs:
+            tb = int(total_bits)
+            nbytes = (tb + 7) // 8
+            by = np.asarray(words).view(np.uint32).astype(">u4") \
+                .view(np.uint8)
+            out.append(by[4:4 + nbytes], tb)
+        run_chunk.k = int(k_dev)
+    else:
+        for start in range(0, n_full, rsis_per_chunk):
+            cnt = min(rsis_per_chunk, n_full - start)
+            x = samples[start * S:(start + cnt) * S].reshape(cnt, S)
+            packed, bits, run_chunk.k = run_chunk(x, cfg.rsi)
+            out.append(packed, bits)
     if rem:
         nb_tail = -(-rem // cfg.block_size)
         tail = samples[n_full * S:]

@@ -9,8 +9,9 @@ ops/zeroruns.py, ops/fields.py and stage A of ops/bitpack.py):
     -> fs-length tables for all k             (block_fs, encode.c:313-327)
     -> warm-start k maps                      (assess_splitting_option,
                                                encode.c:329-410)
-    -> the sequential k chain, run in-kernel: the TPU grid is sequential,
-       so the carry lives in SMEM scratch across grid steps
+    -> the k warm-start chain as a parallel prefix of map compositions
+       (the TPU grid is sequential, so the scalar carry crosses tiles
+       in SMEM scratch)
     -> second-extension / zero-run / option select (encode.c:412-434,
                                                565-659, 585-612)
     -> bit-field expansion + per-block local pack (emit* equivalents,
@@ -23,10 +24,11 @@ step processes R whole RSIs (nbT = R*rsi lanes); RSI and 64-block-segment
 structure is static per lane, so all zero-run / reference-sample
 propagation uses static masks with log-step lane rolls.
 
-Everything is uint32/int32 VPU arithmetic; the single scalar-sequential
-piece (the k warm-start chain, state->k in encode.c:369) runs as a
-fori_loop over lanes with dynamic-sublane indexing on a transposed map
-table -- ~nbT scalar steps per tile, overlapping nothing but itself.
+Everything is uint32/int32 VPU arithmetic, including the k warm-start
+chain (state->k, encode.c:369): per-lane walk maps compose associatively,
+so the chain is an inclusive parallel prefix over lanes (log2(nbT)
+doubling steps of K_dom vector selects) with only a per-tile scalar carry
+in SMEM.
 """
 import functools
 
@@ -86,7 +88,7 @@ def encode_tile_kernel(
     # outputs
     win_ref, bbits_ref, kfin_ref,
     # scratch
-    kcarry, maps_s, chosen_s,
+    kcarry,
     *, cfg, nbT, K_dom, W0,
 ):
     u32, i32 = jnp.uint32, jnp.int32
@@ -221,19 +223,28 @@ def encode_tile_kernel(
     maps = jnp.where(z, kk, f)  # zero blocks skip the search: identity
 
     # ---- the sequential k chain (state->k, encode.c:369) -----------------
-    maps_s[:] = maps.T.astype(i32)                     # [nbT, K_dom]
-    lane_k = jax.lax.broadcasted_iota(i32, (1, K_dom), 1)
+    # Map composition is associative, so the per-lane walk maps fold into an
+    # inclusive parallel prefix (Hillis-Steele over lanes): after the scan,
+    # P[:, l] = m_l ∘ ... ∘ m_0 and chosen_k[l] = P[k_in, l].  Each
+    # composition P_l[Q_l[k]] is K_dom selects -- all VPU work, no serial
+    # scalar loop.
+    P = maps
+    s = 1
+    while s < nbT:
+        Q = jnp.where(lane >= s, _roll_lanes(P, s), kk)  # P_{l-s}; id below s
+        acc = jnp.where(Q == 0, P[0:1, :], i32(0))
+        for j in range(1, K_dom):
+            acc = jnp.where(Q == j, P[j:j + 1, :], acc)
+        P = acc
+        s *= 2
 
-    def chain_body(b, k):
-        row = maps_s[pl.ds(b, 1), :]                   # [1, K_dom]
-        k_next = jnp.sum(jnp.where(lane_k == k, row, 0))
-        chosen_s[pl.ds(b, 1), :] = jnp.full((1, 1), k_next, i32)
-        return k_next
-
-    k_final = jax.lax.fori_loop(0, nbT, chain_body, kcarry[0])
+    k0v = kcarry[0]
+    chosen = jnp.where(k0v == 0, P[0:1, :], i32(0))     # [1, nbT]
+    for j in range(1, K_dom):
+        chosen = jnp.where(k0v == j, P[j:j + 1, :], chosen)
+    k_final = chosen[0, nbT - 1]
     kcarry[0] = k_final
     kfin_ref[0, 0] = k_final
-    chosen = chosen_s[:].T                             # [1, nbT] i32
 
     # split length at the chosen k, truncated to u32 (encode.c:409)
     sel = kk == chosen
@@ -397,8 +408,6 @@ def _build_call(cfg, n_rsi, interpret):
         ],
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((nbT, K_dom), jnp.int32),
-            pltpu.VMEM((nbT, 1), jnp.int32),
         ],
         interpret=interpret,
     )
