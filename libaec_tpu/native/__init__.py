@@ -65,24 +65,28 @@ def decode(data: bytes, out_cap: int, cfg, threads=None):
     lib = get_lib()
     if lib is None:
         return None
-    out = ctypes.create_string_buffer(max(out_cap, 1))
+    import numpy as np
+
+    out = np.empty(max(out_cap, 1), np.uint8)
     written = ctypes.c_size_t(0)
-    inbuf = ctypes.create_string_buffer(bytes(data), max(len(data), 1))
+    # zero-copy view of the input (bytes/bytearray/memoryview/ndarray)
+    inview = np.frombuffer(data, np.uint8) if len(data) else \
+        np.empty(1, np.uint8)
+    in_ptr = inview.ctypes.data_as(ctypes.c_void_p)
+    out_ptr = out.ctypes.data_as(ctypes.c_void_p)
     if threads is None:
-        threads = os.cpu_count() or 1 if len(data) >= (1 << 20) else 1
+        # 2x oversubscription overlaps the sequential structural scan with
+        # payload workers (the scan thread spends its tail joining the pool)
+        threads = 2 * (os.cpu_count() or 1) if len(data) >= (1 << 20) else 1
     if threads > 1:
         status = lib.aectpu_decode_parallel(
-            ctypes.cast(inbuf, ctypes.c_void_p), len(data),
-            ctypes.cast(out, ctypes.c_void_p), out_cap,
-            ctypes.byref(written),
+            in_ptr, len(data), out_ptr, out_cap, ctypes.byref(written),
             cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
             threads,
         )
     else:
         status = lib.aectpu_decode(
-            ctypes.cast(inbuf, ctypes.c_void_p), len(data),
-            ctypes.cast(out, ctypes.c_void_p), out_cap,
-            ctypes.byref(written),
+            in_ptr, len(data), out_ptr, out_cap, ctypes.byref(written),
             cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
         )
-    return status, out.raw[: written.value]
+    return status, out[: written.value].tobytes()

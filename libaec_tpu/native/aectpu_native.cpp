@@ -166,6 +166,86 @@ class BitCursor {
     size_t pos_;
 };
 
+// Registerized bit cursor for the decode hot path: the reference decoder's
+// 64-bit accumulator scheme (decode.c:222-340, acc/bitp) with multi-byte
+// refills.  Invariant: the top navail_ bits of acc_ are valid stream bits
+// and everything below is zero, so clz directly yields FS run lengths.
+class RegBitCursor {
+  public:
+    RegBitCursor(const PaddedInput& in, size_t start_bit = 0)
+        : buf_(in.buf.data()), nbits_(in.nbits) {
+        seek(start_bit);
+    }
+
+    size_t pos() const { return (bytepos_ << 3) - (size_t)navail_; }
+    size_t remaining() const {
+        size_t p = pos();
+        return p < nbits_ ? nbits_ - p : 0;
+    }
+    bool has(size_t n) const { return pos() + n <= nbits_; }
+
+    void seek(size_t p) {
+        bytepos_ = p >> 3;
+        acc_ = 0;
+        navail_ = 0;
+        refill();
+        int off = (int)(p & 7);
+        acc_ <<= off;
+        navail_ -= off;
+    }
+
+    uint32_t get(int n) {  // caller must ensure has(n); n in [0, 32]
+        if (n == 0) return 0;
+        if (navail_ < n) refill();
+        uint32_t v = (uint32_t)(acc_ >> (64 - n));
+        acc_ <<= n;
+        navail_ -= n;
+        return v;
+    }
+
+    // Fundamental sequence: zeros before the next 1.  False on exhaustion
+    // (cursor left at end-of-stream, like BitCursor::get_fs).
+    bool get_fs(uint32_t* out) {
+        uint32_t zeros = 0;
+        for (;;) {
+            if (acc_) {  // bits below navail_ are zero => clz < navail_
+                int lz = __builtin_clzll(acc_);
+                zeros += (uint32_t)lz;
+                acc_ <<= lz + 1;
+                navail_ -= lz + 1;
+                *out = zeros;
+                return true;
+            }
+            zeros += (uint32_t)navail_;
+            navail_ = 0;
+            acc_ = 0;
+            if ((bytepos_ << 3) >= nbits_) return false;
+            refill();
+        }
+    }
+
+  private:
+    void refill() {
+        int nbytes = (63 - navail_) >> 3;
+        if (nbytes == 0) return;
+        uint64_t w;
+        std::memcpy(&w, buf_ + bytepos_, 8);
+#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+        w = __builtin_bswap64(w);
+#endif
+        int nb = nbytes << 3;
+        acc_ |= (w & (~0ull << (64 - nb))) >> navail_;
+        navail_ += nb;
+        bytepos_ += (size_t)nbytes;
+    }
+
+    const uint8_t* buf_;
+    size_t nbits_;
+    size_t bytepos_ = 0;
+    uint64_t acc_ = 0;
+    int navail_ = 0;
+};
+
 // Output writer: converts decoded uint32 samples to the byte layout.
 class SampleWriter {
   public:
@@ -196,6 +276,43 @@ class SampleWriter {
                 else { p[0] = (uint8_t)v; p[1] = (uint8_t)(v >> 8); p[2] = (uint8_t)(v >> 16); p[3] = (uint8_t)(v >> 24); }
         }
         written_ += bsz_;
+    }
+
+    // Bulk variant with the layout switch hoisted out of the sample loop so
+    // the compiler can vectorise each case (flush writes whole RSIs).
+    void put_many(const uint32_t* v, size_t n) {
+        uint8_t* p = out_ + written_;
+        switch (bsz_) {
+            case 1:
+                for (size_t i = 0; i < n; i++) p[i] = (uint8_t)v[i];
+                break;
+            case 2:
+                if (msb_) {
+                    for (size_t i = 0; i < n; i++) {
+                        uint16_t t = __builtin_bswap16((uint16_t)v[i]);
+                        std::memcpy(p + 2 * i, &t, 2);
+                    }
+                } else {
+                    for (size_t i = 0; i < n; i++) {
+                        uint16_t t = (uint16_t)v[i];
+                        std::memcpy(p + 2 * i, &t, 2);
+                    }
+                }
+                break;
+            case 3:
+                for (size_t i = 0; i < n; i++) put(v[i]);
+                return;  // put() advanced written_
+            default:
+                if (msb_) {
+                    for (size_t i = 0; i < n; i++) {
+                        uint32_t t = __builtin_bswap32(v[i]);
+                        std::memcpy(p + 4 * i, &t, 4);
+                    }
+                } else {
+                    std::memcpy(p, v, 4 * n);
+                }
+        }
+        written_ += (size_t)bsz_ * n;
     }
 
   private:
@@ -317,7 +434,7 @@ static int decode_core(const PaddedInput& input, uint64_t start_bit,
     const uint32_t uncomp_id = (1u << id_len) - 1;
     const bool pp = p.pp();
 
-    BitCursor bits(input, start_bit);
+    RegBitCursor bits(input, start_bit);
     SampleWriter w(out, out_cap, bsz, flags & FLAG_MSB);
     Unpredictor up(p);
 
@@ -335,7 +452,7 @@ static int decode_core(const PaddedInput& input, uint64_t start_bit,
         if (rsip > flush_start) {
             up.apply(rsibuf.data() + flush_start, rsip - flush_start,
                      pp && flush_start == 0);
-            for (size_t i = flush_start; i < rsip; i++) w.put(rsibuf[i]);
+            w.put_many(rsibuf.data() + flush_start, rsip - flush_start);
             flush_start = rsip;
         }
         if (rsip == S) { rsip = 0; flush_start = 0; }
@@ -395,17 +512,31 @@ static int decode_core(const PaddedInput& input, uint64_t start_bit,
                 }
                 size_t n = (size_t)zb * bs - (ref ? 1 : 0);
                 if (S - rsip < n) { status = AEC_DATA_ERROR; break; }
-                for (size_t i = 0; i < n; i++) {
-                    if (!have_room(1)) goto done;
-                    put(0);
-                }
+                size_t can = max_samples - samples_put;
+                size_t m = n < can ? n : can;
+                std::fill(rsibuf.begin() + rsip, rsibuf.begin() + rsip + m,
+                          0u);
+                rsip += m;
+                samples_put += m;
+                if (rsip == S) flush();
+                if (m < n) goto done;
             }
         } else if (id == uncomp_id) {
-            for (unsigned i = 0; i < bs; i++) {
-                if (!bits.has(bits_per_sample)) goto done;
-                if (!have_room(1)) goto done;
-                if (rsip >= S) { status = AEC_DATA_ERROR; goto done; }
-                put(bits.get(bits_per_sample));
+            if (bits.has((size_t)bits_per_sample * bs) && have_room(bs) &&
+                S - rsip >= bs) {
+                uint32_t* dst = rsibuf.data() + rsip;
+                for (unsigned i = 0; i < bs; i++)
+                    dst[i] = bits.get(bits_per_sample);
+                rsip += bs;
+                samples_put += bs;
+                if (rsip == S) flush();
+            } else {
+                for (unsigned i = 0; i < bs; i++) {
+                    if (!bits.has(bits_per_sample)) goto done;
+                    if (!have_room(1)) goto done;
+                    if (rsip >= S) { status = AEC_DATA_ERROR; goto done; }
+                    put(bits.get(bits_per_sample));
+                }
             }
         } else {  // split, k = id - 1
             int k = (int)id - 1;
@@ -429,11 +560,19 @@ static int decode_core(const PaddedInput& input, uint64_t start_bit,
                 }
             }
             // LSB phase: samples complete one by one
-            for (unsigned i = 0; i < n; i++) {
-                if (!bits.has((size_t)k)) goto done;
-                if (!have_room(1)) goto done;
-                uint32_t lsb = k ? bits.get(k) : 0;
-                put(dst[i] | lsb);
+            if (bits.has((size_t)k * n) && have_room(n)) {
+                if (k)
+                    for (unsigned i = 0; i < n; i++) dst[i] |= bits.get(k);
+                rsip += n;
+                samples_put += n;
+                if (rsip == S) flush();
+            } else {
+                for (unsigned i = 0; i < n; i++) {
+                    if (!bits.has((size_t)k)) goto done;
+                    if (!have_room(1)) goto done;
+                    uint32_t lsb = k ? bits.get(k) : 0;
+                    put(dst[i] | lsb);
+                }
             }
         }
     }
