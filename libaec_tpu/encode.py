@@ -129,6 +129,7 @@ def _jax_chunk_fn(cfg, n_rsi, nb):
         nwords = (NB * worst + 8) // 32 + gw1 + 2
 
         from .kernels import encode_pallas as _ep
+        from .kernels import merge_pallas as _mp
 
         use_pallas = (
             nb == cfg.rsi
@@ -138,11 +139,16 @@ def _jax_chunk_fn(cfg, n_rsi, nb):
         )
 
         if use_pallas:
+            # VMEM tree merge: bigger groups shorten the stage C scan
+            pgroup = 256
+            pg_out = _mp._round128(pgroup * (local_words - 1) + 3) + 1
+            pnwords = (NB * worst + 8) // 32 + pg_out + 2
+
             def chunk(x, k_init, bit0):
                 win, bbits, k_final = _ep.encode_chunk_fields_pallas(
                     cfg, x, k_init)
-                words, total_bits = bitpack.merge_block_windows(
-                    B, win, bbits, bit0, local_words, nwords, group)
+                words, total_bits = bitpack.merge_block_windows_pallas(
+                    B, win, bbits, bit0, local_words, pnwords, pgroup)
                 return words, total_bits, k_final
         else:
             def chunk(x, k_init, bit0):

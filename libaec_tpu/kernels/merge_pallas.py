@@ -1,0 +1,150 @@
+"""Pallas tree-merge kernel: per-block bit windows -> per-group windows.
+
+Stage B of the grouped bit packer (ops/bitpack.py): at each level the right
+sibling's window is shifted right by the left sibling's exact bit length and
+summed in.  The XLA version materialises every select/pad pass through HBM
+(~50 full-array round trips for a 64-block group); here the whole tree for a
+tile of groups runs in VMEM.
+
+Layout: blocks on sublanes, window words on lanes, all widths kept at
+multiples of 128 lanes so that the level-merge reshape ([R, W] ->
+[R/2, 2W]) is a free relayout and sibling extraction is an *aligned* lane
+slice (Mosaic rejects concats of offset-layout vectors).  The per-pair
+bit/word shift amounts (left-sibling cumulative lengths) are precomputed in
+XLA from the block bit lengths -- they are tiny [NB/2^l] arrays.
+
+Replaces the sequential carry of emit() (/root/reference/src/encode.c:61-83)
+at group granularity; bit-exact with the XLA stage B by construction.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round128(n):
+    return -(-n // 128) * 128
+
+
+def _merge_tile_kernel(*refs, levels, local_words, W0pad, GWout):
+    win_ref = refs[0]
+    o_refs = refs[1:1 + levels]
+    sh_refs = refs[1 + levels:1 + 2 * levels]
+    gwin_ref = refs[1 + 2 * levels]
+
+    u32 = jnp.uint32
+    arr = win_ref[:]                       # [Rt, W0pad] u32
+
+    for lvl in range(levels):
+        R, W = arr.shape
+        y = arr.reshape(R // 2, 2 * W)     # free relayout (W % 128 == 0)
+        l_win = y[:, :W]
+        r_win = y[:, W:]
+        o = o_refs[lvl][0][:R // 2]        # [R/2, 1] i32 word shift
+        sh = sh_refs[lvl][0][:R // 2].astype(u32)  # [R/2, 1] bit shift
+
+        W_new = 2 * W
+        rb = jnp.pad(r_win, ((0, 0), (0, W)))
+        prev = jnp.pad(rb, ((0, 0), (1, 0)))[:, :W_new]
+        rb = (rb >> sh) | jnp.where(
+            sh == 0, u32(0), prev << ((u32(32) - sh) & u32(31)))
+
+        max_o = min(W_new, (1 << lvl) * (local_words - 1))
+        b = 0
+        while (1 << b) <= max_o:
+            s = 1 << b
+            if s >= W_new:
+                shifted = jnp.zeros_like(rb)
+            else:
+                shifted = jnp.pad(rb, ((0, 0), (s, 0)))[:, :W_new]
+            bit = ((o >> b) & 1) != 0
+            rb = jnp.where(bit, shifted, rb)
+            b += 1
+
+        arr = jnp.pad(l_win, ((0, 0), (0, W))) + rb
+
+    gwin_ref[:] = arr[:, :GWout]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_merge_call(NB, W0, local_words, group, interpret):
+    levels = group.bit_length() - 1
+    assert (1 << levels) == group
+    W0pad = _round128(W0)
+    # exact worst-case group window: group * (local_words words of payload)
+    # + front pad word + slack, rounded to a lane multiple
+    GWout = _round128(group * (local_words - 1) + 3)
+    # >= 8 groups per tile keeps the output block sublane-divisible; the
+    # wrapper pads NB up to a whole number of tiles with empty windows
+    groups_per_tile = max(8, 512 // group)
+    Rt = groups_per_tile * group
+    assert NB % Rt == 0
+    n_tiles = NB // Rt
+
+    kern = functools.partial(_merge_tile_kernel, levels=levels,
+                             local_words=local_words, W0pad=W0pad,
+                             GWout=GWout)
+    in_specs = [pl.BlockSpec((Rt, W0pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    # per-level shift arrays ride as [n_tiles, rt_pad, 1] so the
+    # constrained last-two block dims are (rt_pad >= 8, 1)
+    for _ in range(2 * levels):  # o arrays then sh arrays
+        in_specs.append(None)  # placeholder, filled below
+    for j in range(2 * levels):
+        lvl = j % levels
+        rt = max(Rt >> (lvl + 1), 8)
+        in_specs[1 + j] = pl.BlockSpec((1, rt, 1), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((groups_per_tile, GWout), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB // group, GWout), jnp.uint32),
+        interpret=interpret,
+    )
+    return call, W0pad, levels, n_tiles
+
+
+def merge_to_groups_pallas(win, block_bits, local_words, group,
+                           interpret=False):
+    """win: u32 [NB, W0] per-block windows (front pad word included);
+    block_bits: u32 [NB].  NB must be a multiple of `group` (callers pad
+    with zero windows).  Returns (gwin u32 [NG, GWout], glens u32 [NG])."""
+    NB, W0 = win.shape
+    Rt = max(8, 512 // group) * group
+    NBp = -(-NB // Rt) * Rt
+    if NBp != NB:  # trailing empty windows merge into zero-length groups
+        win = jnp.pad(win, ((0, NBp - NB), (0, 0)))
+        block_bits = jnp.pad(block_bits, (0, NBp - NB))
+        NB = NBp
+    call, W0pad, levels, n_tiles = _build_merge_call(NB, W0, local_words,
+                                                     group, interpret)
+    win = jnp.pad(win, ((0, 0), (0, W0pad - W0)))
+
+    # per-level left-sibling lengths: at level l, pair g merges nodes of
+    # 2^l blocks; the left node's bit length is the sum of its block_bits
+    lens = block_bits.astype(jnp.uint32)
+    o_arrs, sh_arrs = [], []
+    node = lens                            # [NB / 2^l] node lengths
+    for lvl in range(levels):
+        pair = node.reshape(-1, 2)
+        l_len = pair[:, 0]
+        o_arrs.append((l_len >> jnp.uint32(5)).astype(jnp.int32))
+        sh_arrs.append(l_len & jnp.uint32(31))
+        node = pair.sum(axis=1, dtype=jnp.uint32)
+
+    def tile3(a, lvl):
+        rt = a.shape[0] // n_tiles
+        a = a.reshape(n_tiles, rt)
+        if rt < 8:
+            a = jnp.pad(a, ((0, 0), (0, 8 - rt)))
+        return a[:, :, None]
+
+    gwin = call(win, *[tile3(a, l) for l, a in enumerate(o_arrs)],
+                *[tile3(a, l) for l, a in enumerate(sh_arrs)])
+    return gwin, node

@@ -198,7 +198,18 @@ def merge_block_windows(B, win, block_bits, bit0, local_words, nwords,
         win = xp.pad(l_win, ((0, 0), (0, W_new - Wl))) + contrib
         lens = l_len + r_len
 
-    # ---- stage C: sequential merge of group windows -----------------------
+    return merge_groups_scan(B, win, lens, bit0, nwords)
+
+
+def merge_groups_scan(B, win, lens, bit0, nwords):
+    """Stage C: sequential merge of group windows (win u32 [NG, GW], lens
+    u32 [NG]) into the packed stream at their exclusive-prefix bit offsets.
+    Returns (words u32 [nwords], total_bits u32 incl. bit0)."""
+    import jax
+    import jax.numpy as jnp
+
+    xp = B.xp
+    u32 = xp.uint32
     gbits = xp.cumsum(lens, dtype=xp.uint32) - lens + xp.asarray(bit0, u32)
     total_bits = (xp.cumsum(lens, dtype=xp.uint32)[-1]
                   + xp.asarray(bit0, u32))
@@ -218,6 +229,22 @@ def merge_block_windows(B, win, block_bits, bit0, local_words, nwords,
                                                  & jnp.uint32(0))
     buf, _ = jax.lax.scan(body, buf, (win_shifted, gofs))
     return buf, total_bits
+
+
+def merge_block_windows_pallas(B, win, block_bits, bit0, local_words,
+                               nwords, group=64):
+    """Stage B in a Pallas kernel (kernels/merge_pallas.py), stage C via the
+    XLA group scan.  Bit-identical to merge_block_windows."""
+    from ..kernels.merge_pallas import merge_to_groups_pallas
+
+    xp = B.xp
+    NB = win.shape[0]
+    NBp = -(-NB // group) * group
+    if NBp != NB:
+        win = xp.pad(win, ((0, NBp - NB), (0, 0)))
+        block_bits = xp.pad(block_bits, (0, NBp - NB))
+    gwin, glens = merge_to_groups_pallas(win, block_bits, local_words, group)
+    return merge_groups_scan(B, gwin, glens, bit0, nwords)
 
 
 def words_to_bytes(xp, words):
