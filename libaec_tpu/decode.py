@@ -46,6 +46,41 @@ def decode_buffer(data, cfg: Config, out_size):
     raise AecDataError(f"status {status}")
 
 
+def decode_buffer_tpu(data, cfg: Config, out_size):
+    """Two-phase decode with the payload phase on device (status, bytes).
+
+    Phase 1 (native): entropy scan -> mapped deltas (no sample
+    reconstruction).  Phase 2 (jax): inverse predictor as a lane-parallel
+    scan across RSIs (ops/unpredict.py) + byte layout.  Bit-identical
+    output to decode_buffer_status for well-formed streams; error statuses
+    follow the same rules (decode.c:818-825)."""
+    import jax.numpy as jnp
+
+    from .ops.unpredict import samples_to_bytes_device, unpredict_rsis
+
+    bsz = cfg.bytes_per_sample
+    max_samples = out_size // bsz
+    res = native.decode_deltas(bytes(data), max_samples, cfg)
+    if res is None:  # no native toolchain: scalar fallback
+        return decode_buffer_status(data, cfg, out_size)
+    status, deltas = res
+    if status != AEC_OK:
+        return status, b""
+    if len(deltas) == max_samples and out_size % bsz:
+        return AEC_MEM_ERROR, b""
+
+    n = len(deltas)
+    S = cfg.samples_per_rsi
+    n_rsi = -(-n // S)
+    if n_rsi == 0:
+        return AEC_OK, b""
+    pad = n_rsi * S - n
+    d = jnp.asarray(np.pad(deltas, (0, pad)).reshape(n_rsi, S))
+    samples = unpredict_rsis(cfg, d).reshape(-1)[:n]
+    by = np.asarray(samples_to_bytes_device(cfg, samples))
+    return AEC_OK, by.tobytes()
+
+
 # ---------------------------------------------------------------------------
 # numpy fallback decoder (used only when the native library cannot build)
 # ---------------------------------------------------------------------------

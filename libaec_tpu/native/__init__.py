@@ -50,6 +50,8 @@ def get_lib():
             lib.aectpu_decode_parallel.restype = ctypes.c_int
             lib.aectpu_decode_parallel.argtypes = (
                 lib.aectpu_decode.argtypes + [ctypes.c_int])
+            lib.aectpu_decode_deltas.restype = ctypes.c_int
+            lib.aectpu_decode_deltas.argtypes = lib.aectpu_decode.argtypes
             _lib = lib
         except Exception:
             _build_failed = True
@@ -90,3 +92,25 @@ def decode(data: bytes, out_cap: int, cfg, threads=None):
             cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
         )
     return status, out[: written.value].tobytes()
+
+
+def decode_deltas(data: bytes, max_samples: int, cfg):
+    """Phase-1 decode: bitstream -> raw mapped deltas (u32 [n]), inverse
+    predictor NOT applied.  Feeds the TPU payload decoder (decode.py).
+    Returns (status, np.uint32 array) or None if the library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    out = np.empty(max(max_samples, 1), np.uint32)
+    written = ctypes.c_size_t(0)
+    inview = np.frombuffer(data, np.uint8) if len(data) else \
+        np.empty(1, np.uint8)
+    status = lib.aectpu_decode_deltas(
+        inview.ctypes.data_as(ctypes.c_void_p), len(data),
+        out.ctypes.data_as(ctypes.c_void_p), 4 * max_samples,
+        ctypes.byref(written),
+        cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
+    )
+    return status, out[: written.value // 4]

@@ -421,11 +421,15 @@ class Unpredictor {
 // Returns an AEC status code; *out_written receives the bytes produced.
 // Truncation semantics match the reference: decode proceeds until input bits
 // or output capacity run out, whole samples only.
+// emit_deltas: skip the inverse predictor and write raw native-endian
+// uint32 mapped deltas -- phase-1 output for the TPU payload decoder
+// (libaec_tpu/decode.py), which runs the inverse predictor as a lane-
+// parallel scan across RSIs.
 static int decode_core(const PaddedInput& input, uint64_t start_bit,
                        uint8_t* out, size_t out_cap, size_t* out_written,
-                       const Params& p) {
+                       const Params& p, bool emit_deltas = false) {
     const int id_len = p.id_len();
-    const int bsz = p.bytes_per_sample();
+    const int bsz = emit_deltas ? 4 : p.bytes_per_sample();
     const unsigned bs = p.block_size;
     const unsigned rsi = p.rsi;
     const unsigned bits_per_sample = p.bits_per_sample;
@@ -435,7 +439,7 @@ static int decode_core(const PaddedInput& input, uint64_t start_bit,
     const bool pp = p.pp();
 
     RegBitCursor bits(input, start_bit);
-    SampleWriter w(out, out_cap, bsz, flags & FLAG_MSB);
+    SampleWriter w(out, out_cap, bsz, !emit_deltas && (flags & FLAG_MSB));
     Unpredictor up(p);
 
     std::vector<uint32_t> rsibuf(S, 0);
@@ -450,8 +454,9 @@ static int decode_core(const PaddedInput& input, uint64_t start_bit,
 
     auto flush = [&]() {
         if (rsip > flush_start) {
-            up.apply(rsibuf.data() + flush_start, rsip - flush_start,
-                     pp && flush_start == 0);
+            if (!emit_deltas)
+                up.apply(rsibuf.data() + flush_start, rsip - flush_start,
+                         pp && flush_start == 0);
             w.put_many(rsibuf.data() + flush_start, rsip - flush_start);
             flush_start = rsip;
         }
@@ -593,6 +598,16 @@ done:
 }  // namespace
 
 extern "C" {
+
+int aectpu_decode_deltas(const uint8_t* in, size_t in_len, uint8_t* out,
+                         size_t out_cap, size_t* out_written,
+                         unsigned bits_per_sample, unsigned block_size,
+                         unsigned rsi, unsigned flags) {
+    Params p{bits_per_sample, block_size, rsi, flags};
+    if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
+    PaddedInput input(in, in_len);
+    return decode_core(input, 0, out, out_cap, out_written, p, true);
+}
 
 int aectpu_decode(const uint8_t* in, size_t in_len, uint8_t* out,
                   size_t out_cap, size_t* out_written,

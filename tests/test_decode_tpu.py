@@ -1,0 +1,73 @@
+"""Two-phase decode with the device payload phase (decode_buffer_tpu):
+native delta scan + jax inverse-predictor scan must reproduce the scalar
+decoder bit-for-bit on reference-encoded streams."""
+import numpy as np
+import pytest
+
+import gen
+from libaec_tpu import Config
+from libaec_tpu import native
+from libaec_tpu.constants import (
+    AEC_DATA_MSB,
+    AEC_DATA_PREPROCESS,
+    AEC_DATA_SIGNED,
+    AEC_OK,
+)
+from libaec_tpu.decode import decode_buffer_status, decode_buffer_tpu
+from libaec_tpu.encode import encode_buffer
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="native library unavailable")
+
+
+def _make_raw(rng, cfg, n_samples, kind="lowentropy"):
+    vals = gen.gen_values(rng, n_samples, cfg.bits_per_sample,
+                          cfg.signed, kind)
+    return gen.pack_samples(vals, cfg.bits_per_sample, cfg.flags)
+
+
+CASES = [
+    (8, 16, 8, 0),
+    (16, 64, 32, AEC_DATA_MSB),
+    (16, 64, 32, AEC_DATA_MSB | AEC_DATA_SIGNED),
+    (32, 16, 7, AEC_DATA_MSB),
+    (13, 32, 16, AEC_DATA_SIGNED),
+]
+
+
+@pytest.mark.parametrize("bps,bs,rsi,extra", CASES)
+@pytest.mark.parametrize("pp", [0, AEC_DATA_PREPROCESS])
+def test_tpu_payload_matches_scalar(bps, bs, rsi, extra, pp):
+    cfg = Config(bps, bs, rsi, extra | pp)
+    rng = np.random.default_rng(bps * 1000 + bs + rsi + pp)
+    raw = _make_raw(rng, cfg, rsi * bs * 9 + bs * 3)
+    comp = encode_buffer(raw, cfg)
+    st_ref, out_ref = decode_buffer_status(comp, cfg, len(raw))
+    st_tpu, out_tpu = decode_buffer_tpu(comp, cfg, len(raw))
+    assert st_tpu == st_ref == AEC_OK
+    assert out_tpu == out_ref
+
+
+def test_tpu_payload_truncated_stream():
+    cfg = Config(16, 64, 32, AEC_DATA_MSB | AEC_DATA_PREPROCESS)
+    rng = np.random.default_rng(7)
+    raw = _make_raw(rng, cfg, 64 * 32 * 4)
+    comp = encode_buffer(raw, cfg)
+    cut = comp[: len(comp) // 2]
+    st_ref, out_ref = decode_buffer_status(cut, cfg, len(raw))
+    st_tpu, out_tpu = decode_buffer_tpu(cut, cfg, len(raw))
+    assert st_tpu == st_ref
+    assert out_tpu == out_ref
+
+
+def test_tpu_payload_zero_runs():
+    cfg = Config(16, 64, 64, AEC_DATA_MSB | AEC_DATA_PREPROCESS)
+    n = 64 * 64 * 4
+    samples = np.zeros(n, dtype=">u2")
+    samples[::777] = 9
+    raw = samples.tobytes()
+    comp = encode_buffer(raw, cfg)
+    st_ref, out_ref = decode_buffer_status(comp, cfg, len(raw))
+    st_tpu, out_tpu = decode_buffer_tpu(comp, cfg, len(raw))
+    assert st_tpu == st_ref == AEC_OK
+    assert out_tpu == out_ref
