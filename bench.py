@@ -72,12 +72,10 @@ def main():
 
     # correctness: bit-exact prefix vs the numpy-backend encoder (which is
     # itself oracle-validated in tests/)
-    from libaec_tpu.encode import encode_buffer
+    from libaec_tpu.encode import encode_buffer, words_to_stream_bytes
 
     expect = encode_buffer(chunk_raw, CFG)
-    by = np.asarray(words).astype(">u4").view(np.uint8)
-    nbytes = (tb0 + 7) // 8
-    got = by[4:4 + nbytes].tobytes()
+    got = words_to_stream_bytes(words, tb0).tobytes()
     assert got == expect, "device chunk output mismatch"
 
     # timed run: chain chunks with the real k/bit carries kept on-device

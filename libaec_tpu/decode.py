@@ -59,26 +59,29 @@ def decode_buffer_tpu(data, cfg: Config, out_size):
     from .ops.unpredict import samples_to_bytes_device, unpredict_rsis
 
     bsz = cfg.bytes_per_sample
+    S = cfg.samples_per_rsi
     max_samples = out_size // bsz
     res = native.decode_deltas(bytes(data), max_samples, cfg)
     if res is None:  # no native toolchain: scalar fallback
         return decode_buffer_status(data, cfg, out_size)
     status, deltas = res
+    if status == AEC_OK and len(deltas) == max_samples and out_size % bsz:
+        status = AEC_MEM_ERROR
     if status != AEC_OK:
-        return status, b""
-    if len(deltas) == max_samples and out_size % bsz:
-        return AEC_MEM_ERROR, b""
+        # the reference skips the final partial-RSI flush on error
+        # (decode.c:825 runs only on AEC_OK), so errors surface only
+        # whole-RSI output
+        deltas = deltas[: len(deltas) // S * S]
 
     n = len(deltas)
-    S = cfg.samples_per_rsi
     n_rsi = -(-n // S)
     if n_rsi == 0:
-        return AEC_OK, b""
+        return status, b""
     pad = n_rsi * S - n
     d = jnp.asarray(np.pad(deltas, (0, pad)).reshape(n_rsi, S))
     samples = unpredict_rsis(cfg, d).reshape(-1)[:n]
     by = np.asarray(samples_to_bytes_device(cfg, samples))
-    return AEC_OK, by.tobytes()
+    return status, by.tobytes()
 
 
 # ---------------------------------------------------------------------------

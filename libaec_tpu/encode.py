@@ -141,7 +141,7 @@ def _jax_chunk_fn(cfg, n_rsi, nb):
         if use_pallas:
             # VMEM tree merge: bigger groups shorten the stage C scan
             pgroup = 256
-            pg_out = _mp._round128(pgroup * (local_words - 1) + 3) + 1
+            pg_out = _mp.group_window_words(local_words, pgroup) + 1
             pnwords = (NB * worst + 8) // 32 + pg_out + 2
 
             def chunk(x, k_init, bit0):
@@ -164,41 +164,52 @@ def _jax_chunk_fn(cfg, n_rsi, nb):
     return fn
 
 
+def words_to_stream_bytes(words, total_bits):
+    """Materialise a packed u32 word buffer (index 0 = front pad word) into
+    the big-endian stream bytes for `total_bits` of payload."""
+    nbytes = (total_bits + 7) // 8
+    by = np.asarray(words).view(np.uint32).astype(">u4").view(np.uint8)
+    return by[4:4 + nbytes]
+
+
 def encode_blocks_jax(cfg, x_np, nb, k_init, bit0):
     """jit/TPU-path chunk encode; host slices the packed bytes."""
     fn = _jax_chunk_fn(cfg, x_np.shape[0], nb)
     words, total_bits, k_final = fn(x_np, k_init, bit0)
     total_bits = int(total_bits)
-    nbytes = (total_bits + 7) // 8
-    by = np.asarray(words).view(np.uint32)
-    by = by.astype(">u4").view(np.uint8)
-    return by[4:4 + nbytes], total_bits, int(k_final)
+    return words_to_stream_bytes(words, total_bits), total_bits, int(k_final)
 
 
-def encode_chunks_jax_pipelined(cfg, chunks, k0=0, bit0=0):
-    """Dispatch many whole-RSI chunks back-to-back without host syncs.
+def encode_chunks_jax_pipelined(cfg, chunks, on_chunk, k0=0, bit0=0,
+                                max_inflight=4):
+    """Dispatch whole-RSI chunks back-to-back with bounded device residency.
 
     chunks: iterable of u32 [n_rsi, samples_per_rsi] arrays (equal n_rsi
     gets one compiled program).  The inter-chunk carries -- warm-start k
     (encode.c:369) and the bit cursor modulo 8 -- stay on the device as
-    traced scalars, so the TPU never waits on the host between chunks.
+    traced scalars, so the TPU never waits on the host between chunks; up
+    to `max_inflight` chunks are queued before the oldest result is
+    materialised through `on_chunk(words_dev, total_bits_dev)` (bounding
+    device memory, unlike an unbounded dispatch of every chunk).
 
-    Returns (outs, k_final_dev): outs is a list of (words_dev,
-    total_bits_dev) per chunk; the caller materialises bytes afterwards
-    (one transfer per chunk, all compute already queued).
+    Returns the final k as a device scalar.
     """
     import jax.numpy as jnp
 
     k = jnp.int32(k0)
     bits_in_byte = jnp.uint32(bit0)
-    outs = []
+    pending = []
     for x in chunks:
         fn = _jax_chunk_fn(cfg, x.shape[0], cfg.rsi)
         words, total_bits, k = fn(x, k, bits_in_byte)
         # next chunk's leading partial byte: cursor mod 8
         bits_in_byte = total_bits % jnp.uint32(8)
-        outs.append((words, total_bits))
-    return outs, k
+        pending.append((words, total_bits))
+        if len(pending) > max_inflight:
+            on_chunk(*pending.pop(0))
+    for w, tb in pending:
+        on_chunk(w, tb)
+    return k
 
 
 class _OutputAssembler:
@@ -256,20 +267,18 @@ def encode_buffer(data, cfg: Config, backend=None, rsis_per_chunk=None):
 
     run_chunk.k = 0
     if use_jax and n_full:
-        # pipelined device path: all full-RSI chunks dispatched without
-        # host syncs (k and the bit cursor carried as device scalars)
-        chunks = [
-            samples[s * S:(s + min(rsis_per_chunk, n_full - s)) * S]
-            .reshape(-1, S)
-            for s in range(0, n_full, rsis_per_chunk)
-        ]
-        dev_outs, k_dev = encode_chunks_jax_pipelined(cfg, chunks)
-        for words, total_bits in dev_outs:
+        # pipelined device path: full-RSI chunks dispatched without host
+        # syncs (k and the bit cursor carried as device scalars)
+        def gen_chunks():
+            for s in range(0, n_full, rsis_per_chunk):
+                cnt = min(rsis_per_chunk, n_full - s)
+                yield samples[s * S:(s + cnt) * S].reshape(cnt, S)
+
+        def on_chunk(words, total_bits):
             tb = int(total_bits)
-            nbytes = (tb + 7) // 8
-            by = np.asarray(words).view(np.uint32).astype(">u4") \
-                .view(np.uint8)
-            out.append(by[4:4 + nbytes], tb)
+            out.append(words_to_stream_bytes(words, tb), tb)
+
+        k_dev = encode_chunks_jax_pipelined(cfg, gen_chunks(), on_chunk)
         run_chunk.k = int(k_dev)
     else:
         for start in range(0, n_full, rsis_per_chunk):

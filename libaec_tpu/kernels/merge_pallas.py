@@ -28,7 +28,15 @@ def _round128(n):
     return -(-n // 128) * 128
 
 
-def _merge_tile_kernel(*refs, levels, local_words, W0pad, GWout):
+def group_window_words(local_words, group):
+    """Words per merged group window (the kernel's output width): worst-case
+    payload words per block x group + front pad word + slack, rounded to a
+    lane multiple.  Exported so callers size their scan buffers from the
+    same formula."""
+    return _round128(group * (local_words - 1) + 3)
+
+
+def _merge_tile_kernel(*refs, levels, local_words, GWout):
     win_ref = refs[0]
     o_refs = refs[1:1 + levels]
     sh_refs = refs[1 + levels:1 + 2 * levels]
@@ -75,7 +83,7 @@ def _build_merge_call(NB, W0, local_words, group, interpret):
     W0pad = _round128(W0)
     # exact worst-case group window: group * (local_words words of payload)
     # + front pad word + slack, rounded to a lane multiple
-    GWout = _round128(group * (local_words - 1) + 3)
+    GWout = group_window_words(local_words, group)
     # >= 8 groups per tile keeps the output block sublane-divisible; the
     # wrapper pads NB up to a whole number of tiles with empty windows
     groups_per_tile = max(8, 512 // group)
@@ -84,19 +92,16 @@ def _build_merge_call(NB, W0, local_words, group, interpret):
     n_tiles = NB // Rt
 
     kern = functools.partial(_merge_tile_kernel, levels=levels,
-                             local_words=local_words, W0pad=W0pad,
-                             GWout=GWout)
+                             local_words=local_words, GWout=GWout)
     in_specs = [pl.BlockSpec((Rt, W0pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)]
     # per-level shift arrays ride as [n_tiles, rt_pad, 1] so the
-    # constrained last-two block dims are (rt_pad >= 8, 1)
-    for _ in range(2 * levels):  # o arrays then sh arrays
-        in_specs.append(None)  # placeholder, filled below
-    for j in range(2 * levels):
-        lvl = j % levels
+    # constrained last-two block dims are (rt_pad >= 8, 1); o arrays for
+    # all levels first, then sh arrays
+    for lvl in list(range(levels)) * 2:
         rt = max(Rt >> (lvl + 1), 8)
-        in_specs[1 + j] = pl.BlockSpec((1, rt, 1), lambda i: (i, 0, 0),
-                                       memory_space=pltpu.VMEM)
+        in_specs.append(pl.BlockSpec((1, rt, 1), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
 
     call = pl.pallas_call(
         kern,
@@ -138,13 +143,13 @@ def merge_to_groups_pallas(win, block_bits, local_words, group,
         sh_arrs.append(l_len & jnp.uint32(31))
         node = pair.sum(axis=1, dtype=jnp.uint32)
 
-    def tile3(a, lvl):
+    def tile3(a):
         rt = a.shape[0] // n_tiles
         a = a.reshape(n_tiles, rt)
         if rt < 8:
             a = jnp.pad(a, ((0, 0), (0, 8 - rt)))
         return a[:, :, None]
 
-    gwin = call(win, *[tile3(a, l) for l, a in enumerate(o_arrs)],
-                *[tile3(a, l) for l, a in enumerate(sh_arrs)])
+    gwin = call(win, *[tile3(a) for a in o_arrs],
+                *[tile3(a) for a in sh_arrs])
     return gwin, node

@@ -78,8 +78,12 @@ def decode(data: bytes, out_cap: int, cfg, threads=None):
     out_ptr = out.ctypes.data_as(ctypes.c_void_p)
     if threads is None:
         # 2x oversubscription overlaps the sequential structural scan with
-        # payload workers (the scan thread spends its tail joining the pool)
-        threads = 2 * (os.cpu_count() or 1) if len(data) >= (1 << 20) else 1
+        # payload workers (the scan thread spends its tail joining the
+        # pool); never spawn more workers than there are RSIs to decode
+        rsi_bytes = cfg.samples_per_rsi * cfg.bytes_per_sample
+        n_rsis = max(1, out_cap // rsi_bytes)
+        threads = min(2 * (os.cpu_count() or 1), n_rsis) \
+            if len(data) >= (1 << 20) else 1
     if threads > 1:
         status = lib.aectpu_decode_parallel(
             in_ptr, len(data), out_ptr, out_cap, ctypes.byref(written),

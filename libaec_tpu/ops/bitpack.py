@@ -232,7 +232,7 @@ def merge_groups_scan(B, win, lens, bit0, nwords):
 
 
 def merge_block_windows_pallas(B, win, block_bits, bit0, local_words,
-                               nwords, group=64):
+                               nwords, group=64, interpret=False):
     """Stage B in a Pallas kernel (kernels/merge_pallas.py), stage C via the
     XLA group scan.  Bit-identical to merge_block_windows."""
     from ..kernels.merge_pallas import merge_to_groups_pallas
@@ -243,7 +243,8 @@ def merge_block_windows_pallas(B, win, block_bits, bit0, local_words,
     if NBp != NB:
         win = xp.pad(win, ((0, NBp - NB), (0, 0)))
         block_bits = xp.pad(block_bits, (0, NBp - NB))
-    gwin, glens = merge_to_groups_pallas(win, block_bits, local_words, group)
+    gwin, glens = merge_to_groups_pallas(win, block_bits, local_words, group,
+                                         interpret=interpret)
     return merge_groups_scan(B, gwin, glens, bit0, nwords)
 
 

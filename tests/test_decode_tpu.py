@@ -60,6 +60,20 @@ def test_tpu_payload_truncated_stream():
     assert out_tpu == out_ref
 
 
+def test_tpu_payload_mem_error_parity():
+    """out_size not a multiple of bytes_per_sample: MEM_ERROR plus the same
+    partial (whole-RSI) output as the scalar path (decode.c:821-825)."""
+    cfg = Config(16, 64, 32, AEC_DATA_MSB | AEC_DATA_PREPROCESS)
+    rng = np.random.default_rng(11)
+    raw = _make_raw(rng, cfg, 64 * 32 * 4)
+    comp = encode_buffer(raw, cfg)
+    out_size = len(raw) - 3  # mid-sample capacity
+    st_ref, out_ref = decode_buffer_status(comp, cfg, out_size)
+    st_tpu, out_tpu = decode_buffer_tpu(comp, cfg, out_size)
+    assert st_tpu == st_ref
+    assert out_tpu == out_ref
+
+
 def test_tpu_payload_zero_runs():
     cfg = Config(16, 64, 64, AEC_DATA_MSB | AEC_DATA_PREPROCESS)
     n = 64 * 64 * 4

@@ -73,6 +73,21 @@ def run_both(cfg, x, k_init=0):
 
     words_k, tb_k = bitpack.merge_block_windows(
         jax_backend(), win, bbits, 0, local_words, nwords, group)
+
+    # production TPU merge path (Pallas tree merge, group=256, as wired in
+    # encode._jax_chunk_fn) must agree bit-for-bit as well
+    from libaec_tpu.kernels.merge_pallas import group_window_words
+
+    pgroup = 256
+    pnwords = ((NB * worst + 8) // 32
+               + group_window_words(local_words, pgroup) + 3)
+    words_p, tb_p = bitpack.merge_block_windows_pallas(
+        jax_backend(), win, bbits, 0, local_words, pnwords, pgroup,
+        interpret=True)
+    nbw = (int(tb_k) + 31) // 32 + 1
+    assert int(tb_p) == int(tb_k)
+    assert np.array_equal(np.asarray(words_p)[:nbw],
+                          np.asarray(words_k)[:nbw])
     return (np.asarray(words_np), int(tb_np), int(kf_np),
             np.asarray(words_k), int(tb_k), int(kf))
 
