@@ -104,7 +104,10 @@ def encode_tile_kernel(
     def _():
         kcarry[0] = k0_ref[0, 0]
 
-    x = xt_ref[:]  # u32 [bs, nbT]
+    # input arrives in natural [blocks, samples] row layout; the
+    # samples-on-sublanes transpose happens here in VMEM, saving the HBM
+    # round trip of a separate XLA transpose
+    x = xt_ref[:].T  # u32 [bs, nbT]
 
     lane = jax.lax.broadcasted_iota(i32, (1, nbT), 1)
     sub = jax.lax.broadcasted_iota(i32, (bs, nbT), 0)
@@ -330,6 +333,7 @@ def encode_tile_kernel(
     mi = contribs(e_mid, mid_v)
     ls = contribs(e_lsb, lsb_v)
 
+    rows = []
     for w in range(W0):
         wv = u32(w)
         acc = jnp.zeros((1, nbT), u32)
@@ -339,7 +343,10 @@ def encode_tile_kernel(
         for i1, c1, i2, c2 in (mi, ls):
             acc += _sum_u32(jnp.where(i1 == wv, c1, u32(0)))
             acc += _sum_u32(jnp.where(i2 == wv, c2, u32(0)))
-        win_ref[w:w + 1, :] = acc
+        rows.append(acc)
+    # write block-major windows (what the merge kernel consumes) directly:
+    # one VMEM transpose instead of an XLA one through HBM
+    win_ref[:] = jnp.concatenate(rows, axis=0).T
 
 
 def _pick_tile_rsis(cfg, n_rsi):
@@ -390,11 +397,11 @@ def _build_call(cfg, n_rsi, interpret):
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((bs, nbT), lambda i: (0, i),
+            pl.BlockSpec((nbT, bs), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((W0, nbT), lambda i: (0, i),
+            pl.BlockSpec((nbT, W0), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nbT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -402,7 +409,7 @@ def _build_call(cfg, n_rsi, interpret):
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((W0, NB), jnp.uint32),
+            jax.ShapeDtypeStruct((NB, W0), jnp.uint32),
             jax.ShapeDtypeStruct((1, NB), jnp.uint32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
@@ -420,7 +427,7 @@ def encode_chunk_fields_pallas(cfg, x, k_init, interpret=False):
     n_rsi = x.shape[0]
     NB = n_rsi * cfg.rsi
     call, W0, local_words = _build_call(cfg, n_rsi, interpret)
-    xt = x.reshape(NB, cfg.block_size).T
+    xt = x.reshape(NB, cfg.block_size)
     k0 = jnp.asarray(k_init, jnp.int32).reshape(1, 1)
     win, bbits, kfin = call(k0, xt)
-    return win.T, bbits[0], kfin[0, 0]
+    return win, bbits[0], kfin[0, 0]
