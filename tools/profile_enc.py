@@ -3,7 +3,7 @@ import sys, time
 from pathlib import Path
 import numpy as np
 
-REPO = Path(__file__).resolve().parent
+REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 import jax
