@@ -30,7 +30,8 @@ from libaec_tpu import Config  # noqa: E402
 from libaec_tpu import native  # noqa: E402
 from libaec_tpu.constants import AEC_DATA_MSB, AEC_DATA_PREPROCESS  # noqa: E402
 
-BASELINE_MIBS = 317.0
+BASELINE_MIBS = 317.0        # reference C encode, measured in BASELINE.md
+DECODE_BASELINE_MIBS = 202.0  # reference C decode, measured in BASELINE.md
 FLAGS = AEC_DATA_MSB | AEC_DATA_PREPROCESS
 CFG = Config(16, 64, 256, FLAGS)
 RSI_SAMPLES = CFG.samples_per_rsi  # 16384 samples = 32 KiB
@@ -126,7 +127,7 @@ def main():
     ddt = time.time() - t0
     assert st == 0 and dec == chunk_raw, "decode verify failed"
     print(f"# decode {chunk_bytes / (1 << 20) / ddt:.1f} MiB/s "
-          f"(vs 202 baseline)", file=sys.stderr)
+          f"(vs {DECODE_BASELINE_MIBS:.0f} baseline)", file=sys.stderr)
 
 
 if __name__ == "__main__":

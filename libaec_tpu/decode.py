@@ -4,15 +4,16 @@ Decode of an un-indexed AEC stream is inherently serial at the bit level
 (option IDs are discovered only by decoding; SURVEY.md §2).  The design is
 two-phase:
 
-  phase 1 (host, native C++): sequential index scan / scalar decode
-          (libaec_tpu/native) -- GB/s-class, no sample reconstruction cost
-          when only indexing;
-  phase 2 (TPU): data-parallel payload decode across blocks/RSIs once CDS
-          boundaries are known (ops/bitunpack.py, kernels/).
+  phase 1 (host, native C++): sequential structural scan
+          (native.scan_blocks) -- GB/s-class, lengths + per-block payload
+          records only, no sample reconstruction;
+  phase 2 (TPU): data-parallel entropy decode of every block payload
+          (ops/bitunpack.py) + lane-parallel inverse predictor
+          (ops/unpredict.py) + on-device byte layout.
 
-aectpu_decode currently performs both phases scalar-side; the TPU payload
-path hangs off the same index records.  A pure-numpy fallback keeps the
-package functional without a C++ toolchain.
+The pure-CPU alternative (native.decode) runs phase 2 on worker threads
+with the scalar core instead; a pure-numpy fallback keeps the package
+functional without a C++ toolchain.
 """
 import numpy as np
 
@@ -46,42 +47,120 @@ def decode_buffer(data, cfg: Config, out_size):
     raise AecDataError(f"status {status}")
 
 
-def decode_buffer_tpu(data, cfg: Config, out_size):
-    """Two-phase decode with the payload phase on device (status, bytes).
+_DEC_JIT_CACHE = {}
 
-    Phase 1 (native): entropy scan -> mapped deltas (no sample
-    reconstruction).  Phase 2 (jax): inverse predictor as a lane-parallel
-    scan across RSIs (ops/unpredict.py) + byte layout.  Bit-identical
-    output to decode_buffer_status for well-formed streams; error statuses
-    follow the same rules (decode.c:818-825)."""
-    import jax.numpy as jnp
 
-    from .ops.unpredict import samples_to_bytes_device, unpredict_rsis
+def _jax_decode_fn(cfg, n_rsi):
+    """Build (and cache) the jitted chunk decoder for a static RSI count.
 
+    Signature: (words u32 [W], fs_word, fs_bit, lsb_word, lsb_bit, meta,
+    ref_sample -- all u32 [n_rsi*rsi]) -> u8 [n_rsi*S*bsz]."""
+    key = (cfg, n_rsi)
+    fn = _DEC_JIT_CACHE.get(key)
+    if fn is None:
+        import jax
+
+        from .ops import bitunpack
+        from .ops.unpredict import samples_to_bytes_device, unpredict_rsis
+
+        S = cfg.samples_per_rsi
+
+        def run(words, fs_word, fs_bit, lsb_word, lsb_bit, meta, ref_sample):
+            deltas = bitunpack.decode_blocks(
+                cfg, words, fs_word, fs_bit, lsb_word, lsb_bit, meta,
+                ref_sample)
+            samples = unpredict_rsis(cfg, deltas.reshape(n_rsi, S))
+            return samples_to_bytes_device(cfg, samples.reshape(-1))
+
+        fn = jax.jit(run)
+        _DEC_JIT_CACHE[key] = fn
+    return fn
+
+
+def stream_words_np(data, cfg):
+    """Big-endian u32 word view of the stream (bit 31 of word 0 = stream
+    bit 0), zero-padded so all in-kernel gathers stay in bounds."""
+    from .ops import bitunpack
+
+    nwords = (len(data) + 3) // 4
+    buf = np.zeros((nwords + bitunpack.pad_words(cfg)) * 4, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    return buf.view(">u4").astype(np.uint32)
+
+
+def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None):
+    """Two-phase decode with the entropy phase on device (status, bytes).
+
+    Phase 1 (native.scan_blocks): structural scan -> per-block payload
+    records.  Phase 2 (jax, ops/bitunpack.py): all block payloads decode in
+    parallel on the VPU (FS rank-select, LSB field gathers, SE unpairing,
+    zero fills), then the lane-parallel inverse predictor
+    (ops/unpredict.py) and the byte layout, all on device.  The serial core
+    finishes any tail the scan could not validate, preserving the
+    reference's truncation/error semantics (decode.c:818-825) bit-exactly.
+    """
+    from .ops import bitunpack
+
+    data = bytes(data)
     bsz = cfg.bytes_per_sample
     S = cfg.samples_per_rsi
     max_samples = out_size // bsz
-    res = native.decode_deltas(bytes(data), max_samples, cfg)
-    if res is None:  # no native toolchain: scalar fallback
-        return decode_buffer_status(data, cfg, out_size)
-    status, deltas = res
-    if status == AEC_OK and len(deltas) == max_samples and out_size % bsz:
-        status = AEC_MEM_ERROR
-    if status != AEC_OK:
-        # the reference skips the final partial-RSI flush on error
-        # (decode.c:825 runs only on AEC_OK), so errors surface only
-        # whole-RSI output
-        deltas = deltas[: len(deltas) // S * S]
+    want_rsis = max_samples // S
 
-    n = len(deltas)
-    n_rsi = -(-n // S)
-    if n_rsi == 0:
-        return status, b""
-    pad = n_rsi * S - n
-    d = jnp.asarray(np.pad(deltas, (0, pad)).reshape(n_rsi, S))
-    samples = unpredict_rsis(cfg, d).reshape(-1)[:n]
-    by = np.asarray(samples_to_bytes_device(cfg, samples))
-    return status, by.tobytes()
+    res = native.scan_blocks(data, want_rsis, bitunpack.max_fs_bits(cfg),
+                             cfg) if want_rsis else None
+    if res is None and want_rsis:
+        return decode_buffer_status(data, cfg, out_size)
+    recs, n_rsis, tail_bit = res if res else ({}, 0, 0)
+
+    parts = []
+    if n_rsis:
+        import jax
+
+        words = jax.device_put(stream_words_np(data, cfg))
+
+        fs_off = recs["fs_off"]
+        lsb_off = recs["lsb_off"]
+        arrs = (
+            (fs_off >> np.uint64(5)).astype(np.uint32),
+            (fs_off & np.uint64(31)).astype(np.uint32),
+            (lsb_off >> np.uint64(5)).astype(np.uint32),
+            (lsb_off & np.uint64(31)).astype(np.uint32),
+            recs["meta"],
+            recs["ref_sample"],
+        )
+
+        if chunk_rsis is None:
+            # ~8M delta samples (32 MB u32) per device dispatch
+            chunk_rsis = max(1, (8 << 20) // S)
+        pending = []
+        for start in range(0, n_rsis, chunk_rsis):
+            cnt = min(chunk_rsis, n_rsis - start)
+            # bucket the chunk shape to a power of two to bound recompiles
+            cpad = cnt if cnt == chunk_rsis else _next_pow2(cnt)
+            lo, hi = start * cfg.rsi, (start + cnt) * cfg.rsi
+            nrec = cpad * cfg.rsi
+            chunk_arrs = []
+            for a in arrs:
+                seg = a[lo:hi]
+                if len(seg) < nrec:  # pad with zero-kind (all-zero) records
+                    seg = np.pad(seg, (0, nrec - len(seg)))
+                chunk_arrs.append(seg)
+            fn = _jax_decode_fn(cfg, cpad)
+            pending.append((fn(words, *chunk_arrs), cnt))
+        for dev_bytes, cnt in pending:
+            parts.append(np.asarray(dev_bytes)[: cnt * S * bsz].tobytes())
+
+    done_bytes = n_rsis * S * bsz
+    res = native.decode_tail(data, tail_bit, out_size - done_bytes, cfg)
+    if res is None:
+        return decode_buffer_status(data, cfg, out_size)
+    status, tail = res
+    return status, b"".join(parts) + tail
+
+
+def _next_pow2(n):
+    return 1 << (n - 1).bit_length() if n > 1 else 1
 
 
 # ---------------------------------------------------------------------------

@@ -205,7 +205,7 @@ def encode_chunks_jax_pipelined(cfg, chunks, on_chunk, k0=0, bit0=0,
         # next chunk's leading partial byte: cursor mod 8
         bits_in_byte = total_bits % jnp.uint32(8)
         pending.append((words, total_bits))
-        if len(pending) > max_inflight:
+        if len(pending) >= max_inflight:
             on_chunk(*pending.pop(0))
     for w, tb in pending:
         on_chunk(w, tb)

@@ -52,6 +52,23 @@ def get_lib():
                 lib.aectpu_decode.argtypes + [ctypes.c_int])
             lib.aectpu_decode_deltas.restype = ctypes.c_int
             lib.aectpu_decode_deltas.argtypes = lib.aectpu_decode.argtypes
+            lib.aectpu_decode_tail.restype = ctypes.c_int
+            lib.aectpu_decode_tail.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t, ctypes.c_uint64,
+                ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_size_t),
+                ctypes.c_uint, ctypes.c_uint, ctypes.c_uint, ctypes.c_uint,
+            ]
+            lib.aectpu_scan_blocks.restype = ctypes.c_int
+            lib.aectpu_scan_blocks.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t,      # in
+                ctypes.c_size_t, ctypes.c_int,         # max_rsis, max_fs_bits
+                ctypes.c_void_p, ctypes.c_void_p,      # fs_off, lsb_off
+                ctypes.c_void_p, ctypes.c_void_p,      # meta, ref_sample
+                ctypes.POINTER(ctypes.c_size_t),       # n_rsis_out
+                ctypes.POINTER(ctypes.c_uint64),       # tail_bit_out
+                ctypes.c_uint, ctypes.c_uint, ctypes.c_uint, ctypes.c_uint,
+            ]
             _lib = lib
         except Exception:
             _build_failed = True
@@ -95,6 +112,72 @@ def decode(data: bytes, out_cap: int, cfg, threads=None):
             in_ptr, len(data), out_ptr, out_cap, ctypes.byref(written),
             cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
         )
+    return status, out[: written.value].tobytes()
+
+
+def scan_blocks(data, max_rsis: int, max_fs_bits: int, cfg):
+    """Phase-1 structural scan for the device decoder.
+
+    Walks the stream once (popcount-bulk FS skipping, no sample
+    reconstruction) and emits one payload record per output block for every
+    complete RSI whose FS regions fit the device kernel's static window.
+
+    Returns (records dict of numpy arrays sized n_rsis*rsi, n_rsis,
+    tail_bit) or None if the native library is unavailable.  The serial
+    tail (truncated / malformed / oversized-FS input) resumes at tail_bit.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    nrec = max(max_rsis * cfg.rsi, 1)
+    fs_off = np.empty(nrec, np.uint64)
+    lsb_off = np.empty(nrec, np.uint64)
+    meta = np.empty(nrec, np.uint32)
+    ref_sample = np.empty(nrec, np.uint32)
+    n_rsis = ctypes.c_size_t(0)
+    tail_bit = ctypes.c_uint64(0)
+    inview = np.frombuffer(data, np.uint8) if len(data) else \
+        np.empty(1, np.uint8)
+    status = lib.aectpu_scan_blocks(
+        inview.ctypes.data_as(ctypes.c_void_p), len(data),
+        max_rsis, max_fs_bits,
+        fs_off.ctypes.data_as(ctypes.c_void_p),
+        lsb_off.ctypes.data_as(ctypes.c_void_p),
+        meta.ctypes.data_as(ctypes.c_void_p),
+        ref_sample.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(n_rsis), ctypes.byref(tail_bit),
+        cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
+    )
+    if status != 0:
+        return None
+    n = n_rsis.value * cfg.rsi
+    recs = {
+        "fs_off": fs_off[:n],
+        "lsb_off": lsb_off[:n],
+        "meta": meta[:n],
+        "ref_sample": ref_sample[:n],
+    }
+    return recs, n_rsis.value, tail_bit.value
+
+
+def decode_tail(data, start_bit: int, out_cap: int, cfg):
+    """Serial decode resuming at an RSI-start bit offset (status, bytes)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    out = np.empty(max(out_cap, 1), np.uint8)
+    written = ctypes.c_size_t(0)
+    inview = np.frombuffer(data, np.uint8) if len(data) else \
+        np.empty(1, np.uint8)
+    status = lib.aectpu_decode_tail(
+        inview.ctypes.data_as(ctypes.c_void_p), len(data), start_bit,
+        out.ctypes.data_as(ctypes.c_void_p), out_cap, ctypes.byref(written),
+        cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
+    )
     return status, out[: written.value].tobytes()
 
 

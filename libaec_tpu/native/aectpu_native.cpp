@@ -417,6 +417,127 @@ class Unpredictor {
     int32_t last_ = 0;
 };
 
+// ---------------------------------------------------------------------------
+// Structural scan: validate one RSI and (optionally) emit per-block payload
+// records for the device (TPU) entropy decoder (libaec_tpu/ops/bitunpack.py).
+// The record is everything the data-parallel phase needs to decode one
+// output block without re-walking the bitstream serially.
+// ---------------------------------------------------------------------------
+
+constexpr uint32_t KIND_ZERO = 0;    // all-zero block (zero-run member)
+constexpr uint32_t KIND_SE = 1;      // second extension
+constexpr uint32_t KIND_SPLIT = 2;   // split, k = (meta >> 2) & 31
+constexpr uint32_t KIND_UNCOMP = 3;  // raw block
+
+struct BlockRecSink {
+    uint64_t* fs_off;      // bit offset of the FS region (se/split) or the
+                           // raw field region (uncomp); 0 for zero blocks
+    uint64_t* lsb_off;     // bit offset of the split LSB region (== end of
+                           // FS region); == fs_off for uncomp; 0 otherwise
+    uint32_t* meta;        // kind | k << 2 | ref << 7
+    uint32_t* ref_sample;  // raw reference sample (first block of RSI, pp)
+    size_t n = 0;
+
+    void push(uint64_t fso, uint64_t lsbo, uint32_t kind, uint32_t k,
+              uint32_t ref, uint32_t refs) {
+        fs_off[n] = fso;
+        lsb_off[n] = lsbo;
+        meta[n] = kind | (k << 2) | (ref << 7);
+        ref_sample[n] = refs;
+        n++;
+    }
+};
+
+// Walk one RSI's structure, advancing the cursor past it.  Emits exactly
+// p.rsi records into *rec when rec != nullptr.  max_fs_bits > 0 additionally
+// rejects RSIs with any FS region longer than the device decoder's static
+// window (conforming encoders keep every CDS under uncomp_len bits, but the
+// reference's garbage-in stance means arbitrary input must fall back to the
+// exact serial core rather than mis-decode).  Returns false on any
+// rejection; the cursor is then mid-RSI and the caller must restore it.
+static bool scan_one_rsi(BitCursor& bits, const Params& p, BlockRecSink* rec,
+                         int max_fs_bits) {
+    const int id_len = p.id_len();
+    const unsigned bs = p.block_size;
+    const unsigned bps = p.bits_per_sample;
+    const uint32_t uncomp_id = (1u << id_len) - 1;
+    const bool pp = p.pp();
+    const size_t S = (size_t)p.rsi * bs;
+
+    size_t rsip = 0;
+    while (rsip < S) {
+        bool ref = pp && rsip == 0;
+        uint32_t refs = 0;
+        if (!bits.has(id_len)) return false;
+        uint32_t id = bits.get(id_len);
+        if (id == 0) {  // low-entropy options
+            if (!bits.has(1)) return false;
+            uint32_t sub = bits.get(1);
+            if (ref) {
+                if (!bits.has(bps)) return false;
+                refs = bits.get(bps);
+                rsip++;
+            }
+            if (sub == 1) {  // second extension: bs/2 FS codes
+                unsigned n_smp = bs - (ref ? 1 : 0);
+                if (S - rsip < n_smp) return false;
+                uint64_t fso = bits.pos();
+                if (!bits.skip_fs(bs / 2)) return false;
+                if (max_fs_bits > 0 &&
+                    bits.pos() - fso > (uint64_t)max_fs_bits)
+                    return false;
+                if (rec) rec->push(fso, 0, KIND_SE, 0, ref, refs);
+                rsip += n_smp;
+            } else {  // zero-block run
+                uint32_t fs;
+                if (!bits.get_fs(&fs)) return false;
+                uint32_t zb = fs + 1;
+                if (zb == 5) {
+                    uint32_t b = (uint32_t)(rsip / bs);
+                    uint32_t rest_rsi = p.rsi - b;
+                    uint32_t rest_seg = 64 - (b % 64);
+                    zb = rest_rsi < rest_seg ? rest_rsi : rest_seg;
+                } else if (zb > 5) {
+                    zb--;
+                }
+                size_t n = (size_t)zb * bs - (ref ? 1 : 0);
+                if (S - rsip < n) return false;
+                rsip += n;
+                if (rec)
+                    for (uint32_t z = 0; z < zb; z++)
+                        rec->push(0, 0, KIND_ZERO, 0, z == 0 ? ref : 0,
+                                  z == 0 ? refs : 0);
+            }
+        } else if (id == uncomp_id) {
+            if (!bits.has((size_t)bs * bps)) return false;
+            uint64_t fso = bits.pos();
+            bits.seek(bits.pos() + (size_t)bs * bps);
+            if (S - rsip < bs) return false;
+            if (rec) rec->push(fso, fso, KIND_UNCOMP, 0, 0, 0);
+            rsip += bs;
+        } else {  // split, k = id - 1
+            unsigned k = id - 1;
+            if (ref) {
+                if (!bits.has(bps)) return false;
+                refs = bits.get(bps);
+                rsip++;
+            }
+            unsigned n = bs - (ref ? 1 : 0);
+            if (S - rsip < n) return false;
+            uint64_t fso = bits.pos();
+            if (!bits.skip_fs(n)) return false;
+            uint64_t lsbo = bits.pos();
+            if (max_fs_bits > 0 && lsbo - fso > (uint64_t)max_fs_bits)
+                return false;
+            if (!bits.has((size_t)n * k)) return false;
+            bits.seek(bits.pos() + (size_t)n * k);
+            if (rec) rec->push(fso, lsbo, KIND_SPLIT, k, ref, refs);
+            rsip += n;
+        }
+    }
+    return rsip == S;
+}
+
 // Full scalar decode starting at an arbitrary bit offset (RSI-start state).
 // Returns an AEC status code; *out_written receives the bytes produced.
 // Truncation semantics match the reference: decode proceeds until input bits
@@ -609,6 +730,19 @@ int aectpu_decode_deltas(const uint8_t* in, size_t in_len, uint8_t* out,
     return decode_core(input, 0, out, out_cap, out_written, p, true);
 }
 
+// Serial decode resuming at an RSI-start bit offset: finishes the tail the
+// structural scan could not validate (truncated / malformed / oversized-FS
+// input), preserving the reference's truncation and error semantics.
+int aectpu_decode_tail(const uint8_t* in, size_t in_len, uint64_t start_bit,
+                       uint8_t* out, size_t out_cap, size_t* out_written,
+                       unsigned bits_per_sample, unsigned block_size,
+                       unsigned rsi, unsigned flags) {
+    Params p{bits_per_sample, block_size, rsi, flags};
+    if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
+    PaddedInput input(in, in_len);
+    return decode_core(input, start_bit, out, out_cap, out_written, p);
+}
+
 int aectpu_decode(const uint8_t* in, size_t in_len, uint8_t* out,
                   size_t out_cap, size_t* out_written,
                   unsigned bits_per_sample, unsigned block_size, unsigned rsi,
@@ -667,75 +801,11 @@ int aectpu_decode_parallel(const uint8_t* in, size_t in_len, uint8_t* out,
 
     // scan on this thread, publishing offsets as they validate
     {
-        const int id_len = p.id_len();
-        const unsigned bs = block_size;
-        const unsigned bps = bits_per_sample;
-        const uint32_t uncomp_id = (1u << id_len) - 1;
-        const bool pp = p.pp();
         BitCursor bits(input, 0);
         while (published.load(std::memory_order_relaxed) < cap_rsis) {
             uint64_t rsi_start = bits.pos();
             if (flags & FLAG_PAD_RSI) bits.seek((bits.pos() + 7) & ~7ull);
-            size_t rsip = 0;
-            bool ok = true;
-            while (rsip < S) {
-                bool ref = pp && rsip == 0;
-                if (!bits.has(id_len)) { ok = false; break; }
-                uint32_t id = bits.get(id_len);
-                if (id == 0) {
-                    if (!bits.has(1)) { ok = false; break; }
-                    uint32_t sub = bits.get(1);
-                    if (ref) {
-                        if (!bits.has(bps)) { ok = false; break; }
-                        bits.seek(bits.pos() + bps);
-                        rsip++;
-                    }
-                    if (sub == 1) {
-                        // bs/2 SE codes covering bs - ref samples; an
-                        // overrun in the incremental decode surfaces here as
-                        // a pre-check (either way the scan stops and the
-                        // serial tail replays the exact behaviour)
-                        unsigned n_smp = bs - (ref ? 1 : 0);
-                        if (S - rsip < n_smp) { ok = false; break; }
-                        if (!bits.skip_fs(bs / 2)) { ok = false; break; }
-                        rsip += n_smp;
-                    } else {
-                        uint32_t fs;
-                        if (!bits.get_fs(&fs)) { ok = false; break; }
-                        uint32_t zb = fs + 1;
-                        if (zb == 5) {
-                            uint32_t b = (uint32_t)(rsip / bs);
-                            uint32_t rest_rsi = rsi - b;
-                            uint32_t rest_seg = 64 - (b % 64);
-                            zb = rest_rsi < rest_seg ? rest_rsi : rest_seg;
-                        } else if (zb > 5) {
-                            zb--;
-                        }
-                        size_t n = (size_t)zb * bs - (ref ? 1 : 0);
-                        if (S - rsip < n) { ok = false; break; }
-                        rsip += n;
-                    }
-                } else if (id == uncomp_id) {
-                    if (!bits.has((size_t)bs * bps)) { ok = false; break; }
-                    bits.seek(bits.pos() + (size_t)bs * bps);
-                    if (S - rsip < bs) { ok = false; break; }
-                    rsip += bs;
-                } else {
-                    int k = (int)id - 1;
-                    if (ref) {
-                        if (!bits.has(bps)) { ok = false; break; }
-                        bits.seek(bits.pos() + bps);
-                        rsip++;
-                    }
-                    unsigned n = bs - (ref ? 1 : 0);
-                    if (S - rsip < n) { ok = false; break; }
-                    if (!bits.skip_fs(n)) { ok = false; break; }
-                    if (!bits.has((size_t)n * k)) { ok = false; break; }
-                    bits.seek(bits.pos() + (size_t)n * k);
-                    rsip += n;
-                }
-            }
-            if (!ok || rsip != S) {
+            if (!scan_one_rsi(bits, p, nullptr, 0)) {
                 bits.seek(rsi_start);  // tail resumes at this RSI
                 break;
             }
@@ -754,6 +824,40 @@ int aectpu_decode_parallel(const uint8_t* in, size_t in_len, uint8_t* out,
         *out_written = done_bytes + tail_wr;
         return status;
     }
+}
+
+// Phase-1 of the device (TPU) decode: walk the stream and emit one payload
+// record per output block for every complete, device-decodable RSI.  The
+// caller provides arrays of max_rsis * rsi records; *n_rsis_out receives the
+// number of complete RSIs recorded and *tail_bit_out the bit position where
+// the exact serial core must resume (truncated/malformed/oversized-FS tail).
+// max_fs_bits is the device kernel's static FS window in bits.
+int aectpu_scan_blocks(const uint8_t* in, size_t in_len, size_t max_rsis,
+                       int max_fs_bits, uint64_t* fs_off, uint64_t* lsb_off,
+                       uint32_t* meta, uint32_t* ref_sample,
+                       size_t* n_rsis_out, uint64_t* tail_bit_out,
+                       unsigned bits_per_sample, unsigned block_size,
+                       unsigned rsi, unsigned flags) {
+    Params p{bits_per_sample, block_size, rsi, flags};
+    if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
+    PaddedInput input(in, in_len);
+    BitCursor bits(input, 0);
+    BlockRecSink rec{fs_off, lsb_off, meta, ref_sample};
+    size_t n_rsis = 0;
+    while (n_rsis < max_rsis) {
+        uint64_t rsi_start = bits.pos();
+        size_t rec_start = rec.n;
+        if (flags & FLAG_PAD_RSI) bits.seek((bits.pos() + 7) & ~7ull);
+        if (!scan_one_rsi(bits, p, &rec, max_fs_bits)) {
+            bits.seek(rsi_start);
+            rec.n = rec_start;
+            break;
+        }
+        n_rsis++;
+    }
+    *n_rsis_out = n_rsis;
+    *tail_bit_out = bits.pos();
+    return AEC_OK;
 }
 
 }  // extern "C"

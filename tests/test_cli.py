@@ -64,6 +64,7 @@ def test_cli_encode_decode_parity(tmp_path, flags, bps, cfg_flags):
     subprocess.run([str(REF_AEC), "-d"] + flags + [str(ours_rz),
                                                    str(ref_dec)],
                    check=True, timeout=300)
-    # both decoders pad the ragged tail the same way; compare common prefix
+    # cross-decode (ours on ref's stream and vice versa): full byte equality,
+    # including the identically-padded ragged tail
     a, b = ours_dec.read_bytes(), ref_dec.read_bytes()
     assert a == b
