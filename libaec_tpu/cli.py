@@ -115,14 +115,7 @@ def main(argv=None):
         data = f.read()
 
     if dflag:
-        # upper bound on decoded size, then trim: CLI semantics stream until
-        # input is exhausted
-        bound = ((len(data) * 8 // (cfg.id_len + 2) + 2)
-                 * 64 * cfg.block_size * cfg.bytes_per_sample)
-        status, out = decode_buffer_status(data, cfg, bound)
-        if status < 0:
-            sys.stderr.write(f"ERROR: {status}\n")
-            return 1
+        return _decode_to_file(data, cfg, outfn)
     else:
         backend = None
         if len(data) >= _JAX_THRESHOLD_BYTES:
@@ -136,6 +129,51 @@ def main(argv=None):
 
     with open(outfn, "wb") as f:
         f.write(out)
+    return 0
+
+
+def _decode_to_file(data, cfg, outfn, rsis_per_chunk=None):
+    """Stream-decode in bounded memory: complete RSIs are scanned and
+    decoded in ~64 MiB output chunks written straight to the file; only the
+    sub-RSI tail needs a one-RSI buffer.  CLI semantics stream until input
+    is exhausted (aec.c:191-219), so no output-size bound is involved."""
+    from . import native
+
+    if native.get_lib() is None:
+        # no toolchain: scalar fallback with the worst-case output bound
+        bound = ((len(data) * 8 // (cfg.id_len + 2) + 2)
+                 * 64 * cfg.block_size * cfg.bytes_per_sample)
+        status, out = decode_buffer_status(data, cfg, bound)
+        if status < 0:
+            sys.stderr.write(f"ERROR: {status}\n")
+            return 1
+        with open(outfn, "wb") as f:
+            f.write(out)
+        return 0
+
+    rsi_bytes = cfg.rsi_len_bytes
+    if rsis_per_chunk is None:
+        rsis_per_chunk = max(1, (64 << 20) // rsi_bytes)
+    pos = 0
+    status = 0
+    with open(outfn, "wb") as f:
+        while True:
+            n, end = native.scan_rsis(data, pos, rsis_per_chunk, cfg)
+            if n == 0:
+                break
+            status, out = native.decode(data, n * rsi_bytes, cfg,
+                                        start_bit=pos)
+            f.write(out)
+            pos = end
+            if status < 0:
+                break
+        if status == 0:
+            # partial trailing RSI (or trailing padding bits)
+            status, out = native.decode_tail(data, pos, rsi_bytes, cfg)
+            f.write(out)
+    if status < 0:
+        sys.stderr.write(f"ERROR: {status}\n")
+        return 1
     return 0
 
 

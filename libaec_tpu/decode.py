@@ -53,8 +53,8 @@ _DEC_JIT_CACHE = {}
 def _jax_decode_fn(cfg, n_rsi):
     """Build (and cache) the jitted chunk decoder for a static RSI count.
 
-    Signature: (words u32 [W], fs_word, fs_bit, lsb_word, lsb_bit, meta,
-    ref_sample -- all u32 [n_rsi*rsi]) -> u8 [n_rsi*S*bsz]."""
+    Signature: (words u32 [W], fs_word, fs_bit, lsb_rel, meta, ref_sample
+    -- all u32 [n_rsi*rsi]) -> u8 [n_rsi*S*bsz]."""
     key = (cfg, n_rsi)
     fn = _DEC_JIT_CACHE.get(key)
     if fn is None:
@@ -65,10 +65,9 @@ def _jax_decode_fn(cfg, n_rsi):
 
         S = cfg.samples_per_rsi
 
-        def run(words, fs_word, fs_bit, lsb_word, lsb_bit, meta, ref_sample):
+        def run(words, fs_word, fs_bit, lsb_rel, meta, ref_sample):
             deltas = bitunpack.decode_blocks(
-                cfg, words, fs_word, fs_bit, lsb_word, lsb_bit, meta,
-                ref_sample)
+                cfg, words, fs_word, fs_bit, lsb_rel, meta, ref_sample)
             samples = unpredict_rsis(cfg, deltas.reshape(n_rsi, S))
             return samples_to_bytes_device(cfg, samples.reshape(-1))
 
@@ -120,12 +119,12 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None):
         words = jax.device_put(stream_words_np(data, cfg))
 
         fs_off = recs["fs_off"]
-        lsb_off = recs["lsb_off"]
         arrs = (
             (fs_off >> np.uint64(5)).astype(np.uint32),
             (fs_off & np.uint64(31)).astype(np.uint32),
-            (lsb_off >> np.uint64(5)).astype(np.uint32),
-            (lsb_off & np.uint64(31)).astype(np.uint32),
+            # LSB region offset relative to the payload start (zero-run
+            # records carry fs_off == lsb_off == 0, so this stays 0)
+            (recs["lsb_off"] - fs_off).astype(np.uint32),
             recs["meta"],
             recs["ref_sample"],
         )

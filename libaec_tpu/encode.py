@@ -84,6 +84,23 @@ def pipeline_fields(B, cfg, x, nb, k_init):
     w, v = fields.gen_fields(xp, cfg, d_blk, opt, chosen_k, ref,
                              ref_sample_blk, is_zero, zero_emit,
                              zero_fsval, zero_ref)
+    if cfg.pad_rsi:
+        # AEC_PAD_RSI: zero-pad each RSI's bitstream to a byte boundary
+        # (encode.c:499-505 under ENABLE_RSI_PADDING).  Every block gets one
+        # extra field slot, zero-width except on the RSI's last block, where
+        # it absorbs (-rsi_bits) % 8 zero bits.  Because every previous RSI
+        # ends aligned, the pad is a per-RSI-local computation.
+        slots = w.shape[1]
+        wR = w.reshape(n_rsi, nb, slots)
+        pad_bits = (-wR.sum(axis=(1, 2), dtype=u32)) % u32(8)
+        last = (xp.arange(nb) == nb - 1)[None, :, None]
+        extra_w = xp.where(last, pad_bits[:, None, None],
+                           u32(0)).astype(u32)
+        extra_w = xp.broadcast_to(extra_w, (n_rsi, nb, 1))
+        w = xp.concatenate([wR, extra_w], axis=2).reshape(NB, slots + 1)
+        v = xp.concatenate(
+            [v.reshape(n_rsi, nb, slots),
+             xp.zeros((n_rsi, nb, 1), u32)], axis=2).reshape(NB, slots + 1)
     return w.reshape(-1), v.reshape(-1), k_final
 
 

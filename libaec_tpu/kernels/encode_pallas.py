@@ -372,6 +372,8 @@ def kernel_supported(cfg, n_rsi):
         return False  # splitting disabled; XLA path handles it
     if cfg.block_size < 8 or cfg.block_size > 64:
         return False
+    if cfg.pad_rsi:
+        return False  # per-RSI byte padding handled by the XLA field path
     return _pick_tile_rsis(cfg, n_rsi) is not None
 
 

@@ -48,8 +48,21 @@ def get_lib():
                 ctypes.c_uint, ctypes.c_uint, ctypes.c_uint, ctypes.c_uint,
             ]
             lib.aectpu_decode_parallel.restype = ctypes.c_int
-            lib.aectpu_decode_parallel.argtypes = (
-                lib.aectpu_decode.argtypes + [ctypes.c_int])
+            lib.aectpu_decode_parallel.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t, ctypes.c_uint64,  # in
+                ctypes.c_void_p, ctypes.c_size_t,                   # out
+                ctypes.POINTER(ctypes.c_size_t),                    # written
+                ctypes.c_uint, ctypes.c_uint, ctypes.c_uint, ctypes.c_uint,
+                ctypes.c_int,                                       # threads
+            ]
+            lib.aectpu_scan_rsis.restype = ctypes.c_int
+            lib.aectpu_scan_rsis.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t, ctypes.c_uint64,
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_size_t),
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_uint, ctypes.c_uint, ctypes.c_uint, ctypes.c_uint,
+            ]
             lib.aectpu_decode_deltas.restype = ctypes.c_int
             lib.aectpu_decode_deltas.argtypes = lib.aectpu_decode.argtypes
             lib.aectpu_decode_tail.restype = ctypes.c_int
@@ -76,8 +89,8 @@ def get_lib():
     return _lib
 
 
-def decode(data: bytes, out_cap: int, cfg, threads=None):
-    """Native decode. Returns (status, bytes).
+def decode(data: bytes, out_cap: int, cfg, threads=None, start_bit=0):
+    """Native decode from an RSI-start bit offset. Returns (status, bytes).
 
     Large buffers use the two-phase parallel path (structural scan + per-RSI
     worker threads, bit-identical to the scalar core by construction)."""
@@ -103,9 +116,16 @@ def decode(data: bytes, out_cap: int, cfg, threads=None):
             if len(data) >= (1 << 20) else 1
     if threads > 1:
         status = lib.aectpu_decode_parallel(
-            in_ptr, len(data), out_ptr, out_cap, ctypes.byref(written),
+            in_ptr, len(data), start_bit, out_ptr, out_cap,
+            ctypes.byref(written),
             cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
             threads,
+        )
+    elif start_bit:
+        status = lib.aectpu_decode_tail(
+            in_ptr, len(data), start_bit, out_ptr, out_cap,
+            ctypes.byref(written),
+            cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
         )
     else:
         status = lib.aectpu_decode(
@@ -113,6 +133,28 @@ def decode(data: bytes, out_cap: int, cfg, threads=None):
             cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
         )
     return status, out[: written.value].tobytes()
+
+
+def scan_rsis(data, start_bit: int, max_rsis: int, cfg):
+    """Offsets-only scan: (n complete RSIs from start_bit, end_bit), or None
+    if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    n_rsis = ctypes.c_size_t(0)
+    end_bit = ctypes.c_uint64(0)
+    inview = np.frombuffer(data, np.uint8) if len(data) else \
+        np.empty(1, np.uint8)
+    status = lib.aectpu_scan_rsis(
+        inview.ctypes.data_as(ctypes.c_void_p), len(data), start_bit,
+        max_rsis, ctypes.byref(n_rsis), ctypes.byref(end_bit),
+        cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
+    )
+    if status != 0:
+        return None
+    return n_rsis.value, end_bit.value
 
 
 def scan_blocks(data, max_rsis: int, max_fs_bits: int, cfg):

@@ -433,7 +433,7 @@ struct BlockRecSink {
     uint64_t* fs_off;      // bit offset of the FS region (se/split) or the
                            // raw field region (uncomp); 0 for zero blocks
     uint64_t* lsb_off;     // bit offset of the split LSB region (== end of
-                           // FS region); == fs_off for uncomp; 0 otherwise
+                           // FS region); == fs_off for uncomp/se; 0 for zero
     uint32_t* meta;        // kind | k << 2 | ref << 7
     uint32_t* ref_sample;  // raw reference sample (first block of RSI, pp)
     size_t n = 0;
@@ -450,11 +450,12 @@ struct BlockRecSink {
 
 // Walk one RSI's structure, advancing the cursor past it.  Emits exactly
 // p.rsi records into *rec when rec != nullptr.  max_fs_bits > 0 additionally
-// rejects RSIs with any FS region longer than the device decoder's static
-// window (conforming encoders keep every CDS under uncomp_len bits, but the
-// reference's garbage-in stance means arbitrary input must fall back to the
-// exact serial core rather than mis-decode).  Returns false on any
-// rejection; the cursor is then mid-RSI and the caller must restore it.
+// rejects RSIs with any block payload (FS region + LSB plane) longer than
+// max_fs_bits, the device decoder's static window (conforming encoders keep
+// every CDS under uncomp_len bits, but the reference's garbage-in stance
+// means arbitrary input must fall back to the exact serial core rather than
+// mis-decode).  Returns false on any rejection; the cursor is then mid-RSI
+// and the caller must restore it.
 static bool scan_one_rsi(BitCursor& bits, const Params& p, BlockRecSink* rec,
                          int max_fs_bits) {
     const int id_len = p.id_len();
@@ -486,7 +487,7 @@ static bool scan_one_rsi(BitCursor& bits, const Params& p, BlockRecSink* rec,
                 if (max_fs_bits > 0 &&
                     bits.pos() - fso > (uint64_t)max_fs_bits)
                     return false;
-                if (rec) rec->push(fso, 0, KIND_SE, 0, ref, refs);
+                if (rec) rec->push(fso, fso, KIND_SE, 0, ref, refs);
                 rsip += n_smp;
             } else {  // zero-block run
                 uint32_t fs;
@@ -527,7 +528,8 @@ static bool scan_one_rsi(BitCursor& bits, const Params& p, BlockRecSink* rec,
             uint64_t fso = bits.pos();
             if (!bits.skip_fs(n)) return false;
             uint64_t lsbo = bits.pos();
-            if (max_fs_bits > 0 && lsbo - fso > (uint64_t)max_fs_bits)
+            if (max_fs_bits > 0 &&
+                lsbo - fso + (uint64_t)n * k > (uint64_t)max_fs_bits)
                 return false;
             if (!bits.has((size_t)n * k)) return false;
             bits.seek(bits.pos() + (size_t)n * k);
@@ -759,10 +761,11 @@ int aectpu_decode(const uint8_t* in, size_t in_len, uint8_t* out,
 // reference restarts at each RSI, decode.c:410-413), and the serial core
 // finishes the tail to preserve truncation/error semantics bit-exactly.
 // The scan overlaps the workers: workers claim RSIs as they are published.
-int aectpu_decode_parallel(const uint8_t* in, size_t in_len, uint8_t* out,
-                           size_t out_cap, size_t* out_written,
-                           unsigned bits_per_sample, unsigned block_size,
-                           unsigned rsi, unsigned flags, int n_threads) {
+int aectpu_decode_parallel(const uint8_t* in, size_t in_len,
+                           uint64_t start_bit, uint8_t* out, size_t out_cap,
+                           size_t* out_written, unsigned bits_per_sample,
+                           unsigned block_size, unsigned rsi, unsigned flags,
+                           int n_threads) {
     Params p{bits_per_sample, block_size, rsi, flags};
     if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
     const size_t S = (size_t)rsi * block_size;
@@ -772,7 +775,7 @@ int aectpu_decode_parallel(const uint8_t* in, size_t in_len, uint8_t* out,
     const size_t cap_rsis = out_cap / rsi_bytes;
     if (n_threads < 1) n_threads = 1;
     if (cap_rsis < 4 || n_threads == 1) {
-        return decode_core(input, 0, out, out_cap, out_written, p);
+        return decode_core(input, start_bit, out, out_cap, out_written, p);
     }
 
     std::vector<uint64_t> offsets;
@@ -801,7 +804,7 @@ int aectpu_decode_parallel(const uint8_t* in, size_t in_len, uint8_t* out,
 
     // scan on this thread, publishing offsets as they validate
     {
-        BitCursor bits(input, 0);
+        BitCursor bits(input, start_bit);
         while (published.load(std::memory_order_relaxed) < cap_rsis) {
             uint64_t rsi_start = bits.pos();
             if (flags & FLAG_PAD_RSI) bits.seek((bits.pos() + 7) & ~7ull);
@@ -824,6 +827,34 @@ int aectpu_decode_parallel(const uint8_t* in, size_t in_len, uint8_t* out,
         *out_written = done_bytes + tail_wr;
         return status;
     }
+}
+
+// Offsets-only structural scan: count complete RSIs from start_bit (at most
+// max_rsis) and report where the next RSI would begin.  Powers bounded-
+// memory chunked decode (CLI) and incremental streaming decode (stream.py):
+// the caller decodes [start_bit, end_bit) knowing it holds exactly n whole
+// RSIs.
+int aectpu_scan_rsis(const uint8_t* in, size_t in_len, uint64_t start_bit,
+                     size_t max_rsis, size_t* n_rsis_out,
+                     uint64_t* end_bit_out, unsigned bits_per_sample,
+                     unsigned block_size, unsigned rsi, unsigned flags) {
+    Params p{bits_per_sample, block_size, rsi, flags};
+    if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
+    PaddedInput input(in, in_len);
+    BitCursor bits(input, start_bit);
+    size_t n_rsis = 0;
+    while (n_rsis < max_rsis) {
+        uint64_t rsi_start = bits.pos();
+        if (flags & FLAG_PAD_RSI) bits.seek((bits.pos() + 7) & ~7ull);
+        if (!scan_one_rsi(bits, p, nullptr, 0)) {
+            bits.seek(rsi_start);
+            break;
+        }
+        n_rsis++;
+    }
+    *n_rsis_out = n_rsis;
+    *end_bit_out = bits.pos();
+    return AEC_OK;
 }
 
 // Phase-1 of the device (TPU) decode: walk the stream and emit one payload

@@ -2,7 +2,7 @@
 
 Phase 2 of the two-phase decode (decode.py): the native structural scan
 (native.scan_blocks) walks the stream once and emits one tiny record per
-output block — (FS-region offset, LSB-region offset, kind|k|ref, reference
+output block — (payload offset, LSB-region offset, kind|k|ref, reference
 sample).  This module then decodes every block payload in parallel on the
 VPU, replacing the reference decoder's sequential hot loop
 (/root/reference/src/decode.c:222-340 bit readers, :423-502 m_split,
@@ -10,22 +10,27 @@ VPU, replacing the reference decoder's sequential hot loop
 
   * FS (unary) parsing: instead of a clz per code, the j-th FS value of a
     block is recovered by *rank selection* — per-word popcounts over the
-    block's FS window, an exclusive prefix, a compare-count to find the word
-    holding the (j+1)-th set bit, and a 5-step binary in-word select.  All
-    samples of all blocks resolve simultaneously.
+    block's payload window, an inclusive prefix, then the containing word,
+    its prefix rank and its value all emerge from one fused
+    compare-weighted-sum over the window axis, followed by a 5-step binary
+    in-word select.  All samples of all blocks resolve simultaneously.
   * k-bit LSB planes / raw uncompressed fields: fixed-stride unaligned
-    field gathers (two u32 loads + funnel shift per sample).
+    field extraction (two window words + funnel shift per sample), again as
+    dense selects over the window axis.
   * Second-extension unpairing in closed form (sqrt + integer correction),
     replacing the reference's 182-entry table (decode.c:679-692).
   * Zero-run blocks cost nothing: their deltas are the where() default.
 
+Everything after the single [NB, Wf] window fetch is dense elementwise /
+reduction work — no data-dependent gathers, which TPUs lower poorly.
+
 Output is the mapped-delta tensor consumed by ops/unpredict.py.
 
-Conforming streams keep every CDS under uncomp_len = block_size *
-bits_per_sample bits (selection rule, encode.c:585-612), which bounds the
-FS window statically; the scan rejects (extremely rare, non-conforming)
-oversized-FS RSIs so they fall back to the exact serial core instead of
-mis-decoding.
+A conforming CDS keeps FS bits + LSB bits strictly under uncomp_len =
+block_size * bits_per_sample (selection rule, encode.c:585-612), which
+bounds the whole payload window statically; the scan rejects (extremely
+rare, non-conforming) oversized RSIs so they fall back to the exact serial
+core instead of mis-decoding.
 """
 import jax.numpy as jnp
 from jax import lax
@@ -37,28 +42,31 @@ KIND_UNCOMP = 3
 
 
 def window_words(cfg):
-    """Static per-block FS-window size in u32 words: worst-case conforming
-    FS region (< block_size*bits_per_sample bits) plus alignment slack."""
+    """Static per-block payload-window size in u32 words: worst-case
+    conforming payload (< block_size*bits_per_sample bits, covering both
+    the FS and LSB regions) plus alignment slack."""
     return (cfg.block_size * cfg.bits_per_sample) // 32 + 2
 
 
 def max_fs_bits(cfg):
-    """FS-region bit budget the scan enforces for device decodability."""
-    return 32 * window_words(cfg) - 31
+    """FS-region bit budget the scan enforces for device decodability.
+    The LSB region's size is structural (n*k), so bounding FS bounds the
+    whole payload."""
+    return cfg.block_size * cfg.bits_per_sample
 
 
 def pad_words(cfg):
-    """Zero words the host must append after the stream so every in-kernel
-    gather (window + field loads) stays in bounds."""
+    """Zero words the host must append after the stream so the window
+    fetch stays in bounds."""
     return window_words(cfg) + 2
 
 
-def decode_blocks(cfg, words, fs_word, fs_bit, lsb_word, lsb_bit, meta,
-                  ref_sample):
+def decode_blocks(cfg, words, fs_word, fs_bit, lsb_rel, meta, ref_sample):
     """Decode all block payloads.  words: u32 [W] big-endian-packed stream
     (bit 31 of words[0] is stream bit 0), zero-padded by pad_words(cfg);
-    record arrays are u32 [NB] with offsets split into (word, bit-in-word).
-    Returns mapped deltas u32 [NB, block_size]."""
+    record arrays are u32 [NB]: fs_word/fs_bit locate the payload start,
+    lsb_rel is the LSB region's offset in bits relative to the payload
+    start.  Returns mapped deltas u32 [NB, block_size]."""
     u32 = jnp.uint32
     i32 = jnp.int32
     bs = cfg.block_size
@@ -73,30 +81,33 @@ def decode_blocks(cfg, words, fs_word, fs_bit, lsb_word, lsb_bit, meta,
     is_split = kind == KIND_SPLIT
     is_uncomp = kind == KIND_UNCOMP
 
-    # ---- FS parse (split + SE blocks) ------------------------------------
-    n_fs = jnp.where(is_split, u32(bs) - ref,
-                     jnp.where(is_se, u32(bs // 2), u32(0)))
+    # ---- the one gather: per-block payload windows -------------------------
     widx = fs_word[:, None] + jnp.arange(Wf, dtype=u32)[None, :]
     win = words[widx]  # [NB, Wf]
     win = win.at[:, 0].set(win[:, 0] & (u32(0xFFFFFFFF) >> fs_bit))
+
+    # ---- FS parse (split + SE blocks) ------------------------------------
+    n_fs = jnp.where(is_split, u32(bs) - ref,
+                     jnp.where(is_se, u32(bs // 2), u32(0)))
     pc = lax.population_count(win)
     cum = jnp.cumsum(pc, axis=1)  # inclusive, [NB, Wf]
     j = jnp.arange(bs, dtype=u32)
-    # word holding the (j+1)-th set bit: count of words with cum <= j
-    t = (cum[:, None, :] <= j[None, :, None]).sum(axis=2,
-                                                  dtype=i32)  # [NB, bs]
-    t = jnp.minimum(t, Wf - 1)
-    cum_excl = jnp.concatenate(
-        [jnp.zeros((NB, 1), u32), cum[:, :-1]], axis=1)
-    ce = jnp.take_along_axis(cum_excl, t, axis=1)
-    wsel = jnp.take_along_axis(win, t, axis=1)
+    # fused over the window axis: does word w end at rank <= j?
+    le = (cum[:, None, :] <= j[None, :, None])  # [NB, bs, Wf]
+    t = le.sum(axis=2, dtype=i32)               # containing word index
+    ce = jnp.where(le, pc[:, None, :], u32(0)).sum(axis=2)  # cum_excl[t]
+    # word w is the containing word iff le held for w-1 but not w
+    le_prev = jnp.concatenate(
+        [jnp.ones((NB, bs, 1), bool), le[:, :, :-1]], axis=2)
+    hit = le_prev & ~le
+    wsel = jnp.where(hit, win[:, None, :], u32(0)).sum(axis=2)  # [NB, bs]
     r = j[None, :] - ce  # rank of the wanted bit within its word
     # 5-step binary select of the (r+1)-th set bit from the MSB
     L = jnp.zeros((NB, bs), u32)
     for s in (16, 8, 4, 2, 1):
         cnt = lax.population_count(wsel >> (u32(32) - (L + u32(s))))
         L = L + jnp.where(cnt <= r, u32(s), u32(0))
-    sel = (t.astype(u32) << u32(5)) + L - fs_bit[:, None]  # region-relative
+    sel = (t.astype(u32) << u32(5)) + L - fs_bit[:, None]  # payload-relative
     prev = jnp.concatenate(
         [jnp.full((NB, 1), -1, i32), sel[:, :-1].astype(i32)], axis=1)
     fs = (sel.astype(i32) - prev - 1).astype(u32)
@@ -107,37 +118,37 @@ def decode_blocks(cfg, words, fs_word, fs_bit, lsb_word, lsb_bit, meta,
     # payload sample index feeding output position `pos` (ref shifts by one)
     pj = jnp.maximum(pos, ref[:, None]) - ref[:, None]
     keff = jnp.where(is_uncomp, u32(bps), jnp.where(is_split, k, u32(0)))
-    base_word = jnp.where(is_uncomp, fs_word, lsb_word)
-    base_bit = jnp.where(is_uncomp, fs_bit, lsb_bit)
-    q = base_bit[:, None] + pj * keff[:, None]
-    qw = base_word[:, None] + (q >> u32(5))
+    q = fs_bit[:, None] + lsb_rel[:, None] + pj * keff[:, None]
+    qw = (q >> u32(5)).astype(i32)  # window word index, in [0, Wf)
     qb = q & u32(31)
-    w0 = words[qw]
-    w1 = words[qw + 1]
+    # dense select of window words qw and qw+1
+    wr = jnp.arange(Wf, dtype=i32)[None, None, :]
+    w0 = jnp.where(qw[:, :, None] == wr, win[:, None, :], u32(0)).sum(axis=2)
+    w1 = jnp.where((qw + 1)[:, :, None] == wr, win[:, None, :],
+                   u32(0)).sum(axis=2)
     hi = w0 << qb
     lo = jnp.where(qb == 0, u32(0), w1 >> (u32(32) - jnp.maximum(qb, u32(1))))
     sh = u32(32) - jnp.maximum(keff, u32(1))[:, None]
     field = jnp.where(keff[:, None] == 0, u32(0), (hi | lo) >> sh)
 
-    fsp = jnp.take_along_axis(fs, pj.astype(i32), axis=1)
+    # fs value feeding output position: static 1-shift selected by ref
+    fs_shift = jnp.concatenate([jnp.zeros((NB, 1), u32), fs[:, :-1]], axis=1)
+    fsp = jnp.where(ref[:, None] == u32(1), fs_shift, fs)
     split_val = (fsp << k[:, None]) | field  # uncomp: fs==0; zero: both 0
 
     # ---- second extension --------------------------------------------------
     # pair index i from m = i(i+1)/2 + b: closed form + integer correction
-    m = fs
-    i0 = ((jnp.sqrt(8.0 * m.astype(jnp.float32) + 1.0) - 1.0) *
+    m2 = jnp.repeat(fs[:, : bs // 2], 2, axis=1)  # code m for each position
+    i0 = ((jnp.sqrt(8.0 * m2.astype(jnp.float32) + 1.0) - 1.0) *
           0.5).astype(u32)
 
     def _corr(i):
-        i = i + ((i + u32(1)) * (i + u32(2)) // u32(2) <= m).astype(u32)
-        return i - (i * (i + u32(1)) // u32(2) > m).astype(u32)
+        i = i + ((i + u32(1)) * (i + u32(2)) // u32(2) <= m2).astype(u32)
+        return i - (i * (i + u32(1)) // u32(2) > m2).astype(u32)
 
     ii = _corr(_corr(i0))
-    bb = m - ii * (ii + u32(1)) // u32(2)
-    aa = ii - bb
-    pair = jnp.broadcast_to((pos >> u32(1)).astype(i32), (NB, bs))
-    va = jnp.take_along_axis(aa, pair, axis=1)
-    vb = jnp.take_along_axis(bb, pair, axis=1)
+    vb = m2 - ii * (ii + u32(1)) // u32(2)
+    va = ii - vb
     se_val = jnp.where((pos & u32(1)) == 0, va, vb)
 
     # ---- compose ------------------------------------------------------------

@@ -46,7 +46,7 @@ def unpredict_rsis(cfg, deltas):
             nxt = jnp.where(half <= lim, last + zig, esc)
             return nxt, nxt
 
-        _, rest = jax.lax.scan(step, state0, deltas[:, 1:].T)
+        _, rest = jax.lax.scan(step, state0, deltas[:, 1:].T, unroll=8)
         out = jnp.concatenate([state0[:, None], rest.T], axis=1)
         return out.astype(u32)
 
@@ -60,15 +60,33 @@ def unpredict_rsis(cfg, deltas):
         nxt = jnp.where(half <= (mask ^ last), last + zig, mask ^ d)
         return nxt, nxt
 
-    _, rest = jax.lax.scan(step, state0, deltas[:, 1:].T)
+    _, rest = jax.lax.scan(step, state0, deltas[:, 1:].T, unroll=8)
     return jnp.concatenate([state0[:, None], rest.T], axis=1)
 
 
 def samples_to_bytes_device(cfg, samples):
     """u32 [n] samples -> u8 [n*bsz] in the stream's byte layout
-    (decode.c:144-189 put_* equivalents), on device."""
+    (decode.c:144-189 put_* equivalents), on device.
+
+    1/2/4-byte layouts go through a (possibly byte-swapped) bitcast --
+    widening reinterpretation is little-endian on every XLA backend, so an
+    MSB stream just needs the swap first.  3-byte packing has no aligned
+    reinterpretation; it keeps the generic stack."""
     u32 = jnp.uint32
     bsz = cfg.bytes_per_sample
+    if bsz == 1:
+        return samples.astype(jnp.uint8)
+    if bsz == 2:
+        h = samples.astype(jnp.uint16)
+        if cfg.msb:
+            h = (h << jnp.uint16(8)) | (h >> jnp.uint16(8))
+        return jax.lax.bitcast_convert_type(h, jnp.uint8).reshape(-1)
+    if bsz == 4:
+        w = samples
+        if cfg.msb:
+            w = ((w >> u32(24)) | ((w >> u32(8)) & u32(0xFF00))
+                 | ((w << u32(8)) & u32(0xFF0000)) | (w << u32(24)))
+        return jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(-1)
     sh = range(8 * (bsz - 1), -8, -8) if cfg.msb else range(0, 8 * bsz, 8)
     parts = [((samples >> u32(s)) & u32(0xFF)).astype(jnp.uint8) for s in sh]
     return jnp.stack(parts, axis=-1).reshape(-1)

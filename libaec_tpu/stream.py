@@ -176,30 +176,63 @@ def aec_encode_end(strm: AecStream):
 
 
 class _DecState:
+    """Incremental streaming decode state.
+
+    Complete RSIs are decoded exactly once as input accumulates (the scan
+    position `pos_bit` persists across calls); only the trailing partial
+    RSI is re-decoded per call, bounding per-call work by one RSI
+    regardless of how the input dribbles in -- the reference achieves the
+    same with its resumable FSM (decode.c:342-460), we do it by whole-RSI
+    replay."""
+
     def __init__(self, cfg):
         self.cfg = cfg
         self.inbuf = bytearray()
-        self.emitted = 0  # bytes already handed to the caller
+        self.emitted = 0   # bytes already handed to the caller
+        self.outbuf = b""  # decoded bytes of complete RSIs
+        self.pos_bit = 0   # bit offset of the first un-decoded RSI
+        self.status = AEC_OK
+        self._tail = b""       # cached partial-RSI decode
+        self._tail_len = -1    # input length the cache was computed at
 
     def available(self, cap_hint):
-        """Decode accumulated input; return bytes not yet emitted.
-
-        Re-decodes from scratch each call (host streaming is only used for
-        small/dribbled streams; large buffers go through one-shot decode)."""
+        """Decode newly completed RSIs; return bytes not yet emitted."""
         cfg = self.cfg
-        # hard bound on decodable output: the densest CDS (a restricted
-        # zero-block run) yields <= 64 blocks per id_len+2 bits
-        max_out = ((len(self.inbuf) * 8 // (cfg.id_len + 2) + 2)
+        data = bytes(self.inbuf)
+        rsi_bytes = cfg.rsi_len_bytes
+        if self.status == AEC_OK and native.get_lib() is not None:
+            scanned = native.scan_rsis(data, self.pos_bit, 1 << 40, cfg)
+            n_new, end_bit = scanned
+            if n_new:
+                st, out = native.decode(data, n_new * rsi_bytes, cfg,
+                                        start_bit=self.pos_bit)
+                self.outbuf += out
+                self.pos_bit = end_bit
+                self._tail_len = -1  # tail moved; invalidate cache
+                if st != AEC_OK:
+                    self.status = st
+            # trailing partial RSI: bounded re-decode (serial core), cached
+            # so output-drain calls with no new input cost nothing
+            if self._tail_len != len(data):
+                self._status_tail, self._tail = native.decode_tail(
+                    data, self.pos_bit, rsi_bytes, cfg)
+                self._tail_len = len(data)
+            status = self._status_tail if self.status == AEC_OK \
+                else self.status
+            full = self.outbuf + (self._tail if self.status == AEC_OK
+                                  else b"")
+            return status, full[self.emitted:]
+
+        # no native toolchain (or sticky error): scalar full replay
+        from .decode import decode_buffer_numpy
+
+        max_out = ((len(data) * 8 // (cfg.id_len + 2) + 2)
                    * 64 * cfg.block_size * cfg.bytes_per_sample)
         out_cap = min(self.emitted + cap_hint, max_out)
-        res = native.decode(bytes(self.inbuf), out_cap, self.cfg)
-        if res is None:
-            from .decode import decode_buffer_numpy
-
-            status, out = decode_buffer_numpy(bytes(self.inbuf), out_cap,
-                                              self.cfg)
+        if native.get_lib() is not None:
+            status, out = native.decode(data, out_cap, cfg)
         else:
-            status, out = res
+            status, out = decode_buffer_numpy(data, out_cap, cfg)
         return status, out[self.emitted:]
 
 

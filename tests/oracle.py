@@ -11,6 +11,10 @@ import os
 from pathlib import Path
 
 _REF_BUILD = Path(__file__).resolve().parent.parent / ".refbuild" / "src"
+# Separate reference build with -DENABLE_RSI_PADDING: the encode side of
+# AEC_PAD_RSI (encode.c:499-505) is compiled out of the default build.
+_REF_BUILD_PAD = (Path(__file__).resolve().parent.parent
+                  / ".refbuild-pad" / "src")
 
 
 class _AecStream(ctypes.Structure):
@@ -40,10 +44,15 @@ class _SZcom(ctypes.Structure):
 
 _lib = None
 _szlib = None
+_padlib = None
 
 
 def available():
     return (_REF_BUILD / "libaec.so").exists()
+
+
+def pad_available():
+    return (_REF_BUILD_PAD / "libaec.so").exists()
 
 
 def _get_lib():
@@ -51,6 +60,13 @@ def _get_lib():
     if _lib is None:
         _lib = ctypes.CDLL(str(_REF_BUILD / "libaec.so"))
     return _lib
+
+
+def _get_padlib():
+    global _padlib
+    if _padlib is None:
+        _padlib = ctypes.CDLL(str(_REF_BUILD_PAD / "libaec.so"))
+    return _padlib
 
 
 def _get_szlib():
@@ -76,9 +92,10 @@ def _mkstream(data, out_size, bits_per_sample, block_size, rsi, flags):
     return strm, inbuf, outbuf
 
 
-def encode(data, bits_per_sample, block_size, rsi, flags, out_size=None):
+def encode(data, bits_per_sample, block_size, rsi, flags, out_size=None,
+           padded_build=False):
     """One-shot aec_buffer_encode. Returns (status, bytes)."""
-    lib = _get_lib()
+    lib = _get_padlib() if padded_build else _get_lib()
     if out_size is None:
         out_size = 2 * len(data) + 1024
     strm, inbuf, outbuf = _mkstream(

@@ -110,3 +110,52 @@ def test_encode_chunk_sizes_equivalent():
         aec_encode(s, AEC_FLUSH)
         assert aec_encode_end(s) == AEC_OK
         assert bytes(out) == oneshot
+
+
+def test_decode_incremental_large_stream():
+    """Incremental streaming decode: complete RSIs decode exactly once as
+    input accumulates (linear total work); output equals one-shot."""
+    rng = np.random.default_rng(5)
+    flags = AEC_DATA_MSB | AEC_DATA_PREPROCESS
+    cfg = Config(16, 64, 64, flags)
+    vals = gen.gen_values(rng, 64 * cfg.samples_per_rsi, 16, False,
+                          "lowentropy")
+    data = gen.pack_samples(vals, 16, flags)
+    enc = encode_buffer(data, cfg)
+    st, oneshot = decode_buffer_status(enc, cfg, len(data))
+    assert st == AEC_OK
+
+    s = AecStream(16, 64, 64, flags)
+    aec_decode_init(s)
+    out = bytearray()
+    chunk = 8192
+    for i in range(0, len(enc), chunk):
+        s.next_in = enc[i : i + chunk]
+        s.avail_in = len(s.next_in)
+        s.next_out = out
+        s.avail_out = 1 << 30
+        aec_decode(s, AEC_NO_FLUSH)
+        # the scan position advances past every completed RSI: per-call
+        # re-decode work is bounded by one RSI
+        st_state = s._state
+        assert (8 * (i + chunk) - st_state.pos_bit
+                < 2 * 8 * cfg.rsi_len_bytes)
+    assert bytes(out) == oneshot
+
+
+def test_cli_decode_chunked(tmp_path):
+    """_decode_to_file in multi-chunk mode matches the one-shot decode."""
+    from libaec_tpu.cli import _decode_to_file
+
+    rng = np.random.default_rng(6)
+    flags = AEC_DATA_MSB | AEC_DATA_PREPROCESS
+    cfg = Config(16, 64, 16, flags)
+    vals = gen.gen_values(rng, 24 * cfg.samples_per_rsi + 100, 16, False,
+                          "midentropy")
+    data = gen.pack_samples(vals, 16, flags)
+    enc = encode_buffer(data, cfg)
+    out_fn = tmp_path / "out.dat"
+    rc = _decode_to_file(enc, cfg, str(out_fn), rsis_per_chunk=3)
+    assert rc == 0
+    st, oneshot = decode_buffer_status(enc, cfg, 2 * len(data))
+    assert out_fn.read_bytes() == oneshot

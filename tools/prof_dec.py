@@ -43,12 +43,10 @@ def main():
 
     words = jax.device_put(stream_words_np(comp, CFG))
     fs_off = recs["fs_off"]
-    lsb_off = recs["lsb_off"]
     arrs = [
         (fs_off >> np.uint64(5)).astype(np.uint32),
         (fs_off & np.uint64(31)).astype(np.uint32),
-        (lsb_off >> np.uint64(5)).astype(np.uint32),
-        (lsb_off & np.uint64(31)).astype(np.uint32),
+        (recs["lsb_off"] - fs_off).astype(np.uint32),
         recs["meta"], recs["ref_sample"],
     ]
     dev_arrs = [jax.device_put(a) for a in arrs]
