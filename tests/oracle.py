@@ -52,6 +52,26 @@ def available():
 
 
 def pad_available():
+    """The padded build is produced on demand from /root/reference (it is
+    a test fixture, not a repo artifact)."""
+    if (_REF_BUILD_PAD / "libaec.so").exists():
+        return True
+    ref = Path("/root/reference")
+    if not ref.exists():
+        return False
+    import subprocess
+
+    build = _REF_BUILD_PAD.parent
+    try:
+        subprocess.run(
+            ["cmake", "-S", str(ref), "-B", str(build),
+             "-DCMAKE_BUILD_TYPE=Release", "-G", "Ninja",
+             "-DCMAKE_C_FLAGS=-DENABLE_RSI_PADDING"],
+            check=True, capture_output=True, timeout=300)
+        subprocess.run(["ninja", "-C", str(build)],
+                       check=True, capture_output=True, timeout=300)
+    except Exception:
+        return False
     return (_REF_BUILD_PAD / "libaec.so").exists()
 
 
