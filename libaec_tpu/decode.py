@@ -58,16 +58,25 @@ def _jax_decode_fn(cfg, n_rsi):
     key = (cfg, n_rsi)
     fn = _DEC_JIT_CACHE.get(key)
     if fn is None:
+        import os
+
         import jax
 
+        from .kernels import decode_pallas
         from .ops import bitunpack
         from .ops.unpredict import samples_to_bytes_device, unpredict_rsis
 
         S = cfg.samples_per_rsi
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and not os.environ.get("LIBAEC_TPU_NO_PALLAS")
+            and decode_pallas.kernel_supported(cfg)
+        )
 
         def run(words, fs_word, fs_bit, lsb_rel, meta, ref_sample):
             deltas = bitunpack.decode_blocks(
-                cfg, words, fs_word, fs_bit, lsb_rel, meta, ref_sample)
+                cfg, words, fs_word, fs_bit, lsb_rel, meta, ref_sample,
+                use_pallas=use_pallas)
             samples = unpredict_rsis(cfg, deltas.reshape(n_rsi, S))
             return samples_to_bytes_device(cfg, samples.reshape(-1))
 

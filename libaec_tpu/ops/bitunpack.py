@@ -61,12 +61,32 @@ def pad_words(cfg):
     return window_words(cfg) + 2
 
 
-def decode_blocks(cfg, words, fs_word, fs_bit, lsb_rel, meta, ref_sample):
+def decode_blocks(cfg, words, fs_word, fs_bit, lsb_rel, meta, ref_sample,
+                  use_pallas=False, interpret=False):
     """Decode all block payloads.  words: u32 [W] big-endian-packed stream
     (bit 31 of words[0] is stream bit 0), zero-padded by pad_words(cfg);
     record arrays are u32 [NB]: fs_word/fs_bit locate the payload start,
     lsb_rel is the LSB region's offset in bits relative to the payload
     start.  Returns mapped deltas u32 [NB, block_size]."""
+    u32 = jnp.uint32
+    Wf = window_words(cfg)
+    # the one gather: per-block payload windows
+    widx = fs_word[:, None] + jnp.arange(Wf, dtype=u32)[None, :]
+    win = words[widx]  # [NB, Wf]
+    if use_pallas:
+        from ..kernels.decode_pallas import decode_payload_pallas
+
+        val, fs = decode_payload_pallas(cfg, win, fs_bit, lsb_rel, meta,
+                                        interpret=interpret)
+    else:
+        val, fs = _decode_payload_xla(cfg, win, fs_bit, lsb_rel, meta)
+    return compose_blocks(cfg, val, fs, meta, ref_sample)
+
+
+def _decode_payload_xla(cfg, win, fs_bit, lsb_rel, meta):
+    """XLA formulation of the payload parse (kernels/decode_pallas.py is
+    the fused VMEM version).  Returns (val, fs) u32 [NB, bs]: composed
+    split/uncomp/zero deltas and raw FS values (the SE codes)."""
     u32 = jnp.uint32
     i32 = jnp.int32
     bs = cfg.block_size
@@ -81,9 +101,6 @@ def decode_blocks(cfg, words, fs_word, fs_bit, lsb_rel, meta, ref_sample):
     is_split = kind == KIND_SPLIT
     is_uncomp = kind == KIND_UNCOMP
 
-    # ---- the one gather: per-block payload windows -------------------------
-    widx = fs_word[:, None] + jnp.arange(Wf, dtype=u32)[None, :]
-    win = words[widx]  # [NB, Wf]
     win = win.at[:, 0].set(win[:, 0] & (u32(0xFFFFFFFF) >> fs_bit))
 
     # ---- FS parse (split + SE blocks) ------------------------------------
@@ -134,9 +151,21 @@ def decode_blocks(cfg, words, fs_word, fs_bit, lsb_rel, meta, ref_sample):
     # fs value feeding output position: static 1-shift selected by ref
     fs_shift = jnp.concatenate([jnp.zeros((NB, 1), u32), fs[:, :-1]], axis=1)
     fsp = jnp.where(ref[:, None] == u32(1), fs_shift, fs)
-    split_val = (fsp << k[:, None]) | field  # uncomp: fs==0; zero: both 0
+    val = (fsp << k[:, None]) | field  # uncomp: fs==0; zero: both 0
+    return val, fs
 
-    # ---- second extension --------------------------------------------------
+
+def compose_blocks(cfg, val, fs, meta, ref_sample):
+    """Final per-block composition: second-extension unpairing from the raw
+    FS codes, then the reference-sample stitch at output position 0."""
+    u32 = jnp.uint32
+    bs = cfg.block_size
+    NB = meta.shape[0]
+    kind = meta & u32(3)
+    ref = (meta >> u32(7)) & u32(1)
+    is_se = kind == KIND_SE
+    pos = jnp.arange(bs, dtype=u32)[None, :]
+
     # pair index i from m = i(i+1)/2 + b: closed form + integer correction
     m2 = jnp.repeat(fs[:, : bs // 2], 2, axis=1)  # code m for each position
     i0 = ((jnp.sqrt(8.0 * m2.astype(jnp.float32) + 1.0) - 1.0) *
@@ -151,8 +180,7 @@ def decode_blocks(cfg, words, fs_word, fs_bit, lsb_rel, meta, ref_sample):
     va = ii - vb
     se_val = jnp.where((pos & u32(1)) == 0, va, vb)
 
-    # ---- compose ------------------------------------------------------------
-    out = jnp.where(is_se[:, None], se_val, split_val)
+    out = jnp.where(is_se[:, None], se_val, val)
     out = jnp.where((ref[:, None] == u32(1)) & (pos == 0),
                     ref_sample[:, None], out)
     return out

@@ -56,6 +56,23 @@ class SZCom:
     pixels_per_scanline: int
 
 
+def sz_check_params(param: SZCom):
+    """Parameter validation the HDF5 szip filter performs against the
+    szlib.h limits (szlib.h:21-24) plus the stream-level constraints
+    aec_encode_init would reject under AEC_NOT_ENFORCE (encode.c:780-793).
+    Returns SZ_OK or SZ_PARAM_ERROR."""
+    ppb = param.pixels_per_block
+    pps = param.pixels_per_scanline
+    bpp = param.bits_per_pixel
+    if ppb <= 0 or ppb > SZ_MAX_PIXELS_PER_BLOCK or ppb & 1:
+        return SZ_PARAM_ERROR
+    if pps <= 0 or -(-pps // ppb) > SZ_MAX_BLOCKS_PER_SCANLINE:
+        return SZ_PARAM_ERROR
+    if not (1 <= bpp <= 32 or bpp == 64):
+        return SZ_PARAM_ERROR
+    return SZ_OK
+
+
 def _convert_options(sz_opts):
     """sz_compat.c:12-27."""
     opts = 0
@@ -100,6 +117,8 @@ def sz_buffto_buff_compress(source, param: SZCom, dest_len=None):
     Raises AecError on configuration problems; if dest_len is given and the
     output exceeds it, returns SZ_OUTBUFF_FULL semantics via AecError with
     status SZ_OUTBUFF_FULL."""
+    if sz_check_params(param) != SZ_OK:
+        raise AecError(SZ_PARAM_ERROR, "invalid SZ parameters")
     block_size, rsi = _stream_params(param)
     flags = AEC_NOT_ENFORCE | _convert_options(param.options_mask)
 
@@ -148,6 +167,8 @@ def sz_buffto_buff_compress(source, param: SZCom, dest_len=None):
 def sz_buffto_buff_decompress(source, param: SZCom, out_size):
     """SZ_BufftoBuffDecompress (sz_compat.c:185-268). Returns bytes of length
     <= out_size."""
+    if sz_check_params(param) != SZ_OK:
+        raise AecError(SZ_PARAM_ERROR, "invalid SZ parameters")
     block_size, rsi = _stream_params(param)
     flags = _convert_options(param.options_mask)
 
@@ -191,7 +212,37 @@ def sz_encoder_enabled():
     return 1
 
 
-# C-style aliases
-SZ_BufftoBuffCompress = sz_buffto_buff_compress
-SZ_BufftoBuffDecompress = sz_buffto_buff_decompress
+def sz_compress():
+    """netcdf's configure probes for an SZ_Compress symbol; the reference
+    ships a do-nothing stub (sz_compat.c:275-276)."""
+    return SZ_OK
+
+
+# ---------------------------------------------------------------------------
+# C-style entry points: status-code returns instead of exceptions, matching
+# the reference's error mapping (sz_compat.c:170-174: AEC_STREAM_ERROR ->
+# SZ_OUTBUFF_FULL on compress; raw AEC status otherwise).
+# ---------------------------------------------------------------------------
+
+def SZ_BufftoBuffCompress(source, param: SZCom, dest_len=None):
+    """Returns (status, bytes)."""
+    try:
+        return SZ_OK, sz_buffto_buff_compress(source, param, dest_len)
+    except AecError as e:
+        st = SZ_OUTBUFF_FULL if e.status == AEC_STREAM_ERROR else e.status
+        return st, b""
+
+
+def SZ_BufftoBuffDecompress(source, param: SZCom, out_size):
+    """Returns (status, bytes)."""
+    if sz_check_params(param) != SZ_OK:
+        return SZ_PARAM_ERROR, b""
+    try:
+        return SZ_OK, sz_buffto_buff_decompress(source, param, out_size)
+    except AecError as e:
+        return e.status, b""
+
+
 SZ_encoder_enabled = sz_encoder_enabled
+SZ_Compress = sz_compress
+SZ_CheckParams = sz_check_params

@@ -42,3 +42,39 @@ def test_sz_roundtrip(oracle_mod, bpp):
 
 def test_sz_encoder_enabled():
     assert szip.sz_encoder_enabled() == 1
+
+
+def test_sz_param_validation():
+    """szlib.h:21-24 limits enforced as the HDF5 filter layer would."""
+    bad = [
+        szip.SZCom(szip.SZ_MSB_OPTION_MASK, 16, 64, 512),   # ppb > 32
+        szip.SZCom(szip.SZ_MSB_OPTION_MASK, 16, 7, 512),    # odd ppb
+        szip.SZCom(szip.SZ_MSB_OPTION_MASK, 16, 8, 8 * 200),  # >128 blocks
+        szip.SZCom(szip.SZ_MSB_OPTION_MASK, 40, 8, 512),    # bad bpp
+    ]
+    for param in bad:
+        assert szip.sz_check_params(param) == szip.SZ_PARAM_ERROR
+        st, out = szip.SZ_BufftoBuffCompress(b"\0" * 64, param)
+        assert st == szip.SZ_PARAM_ERROR and out == b""
+    good = szip.SZCom(szip.SZ_MSB_OPTION_MASK, 16, 16, 512)
+    assert szip.sz_check_params(good) == szip.SZ_OK
+
+
+def test_sz_status_code_api_roundtrip():
+    """C-style entry points return (status, bytes) instead of raising."""
+    param = szip.SZCom(szip.SZ_MSB_OPTION_MASK | szip.SZ_NN_OPTION_MASK,
+                       16, 16, 256)
+    data = np.arange(2048, dtype=">u2").tobytes()
+    st, comp = szip.SZ_BufftoBuffCompress(data, param)
+    assert st == szip.SZ_OK
+    st, out = szip.SZ_BufftoBuffDecompress(comp, param, len(data))
+    assert st == szip.SZ_OK and out == data
+    # output-buffer-full surfaces as SZ_OUTBUFF_FULL, not an exception
+    st, _ = szip.SZ_BufftoBuffCompress(data, param, dest_len=4)
+    assert st == szip.SZ_OUTBUFF_FULL
+
+
+def test_sz_compress_stub():
+    """netcdf configure probe (sz_compat.c:275-276)."""
+    assert szip.SZ_Compress() == szip.SZ_OK
+    assert szip.SZ_encoder_enabled() == 1
