@@ -53,8 +53,8 @@ _DEC_JIT_CACHE = {}
 def _jax_decode_fn(cfg, n_rsi):
     """Build (and cache) the jitted chunk decoder for a static RSI count.
 
-    Signature: (words u32 [W], fs_word, fs_bit, lsb_rel, meta, ref_sample
-    -- all u32 [n_rsi*rsi]) -> u8 [n_rsi*S*bsz]."""
+    Signature: (win u32 [n_rsi*rsi, Wf], fs_bit, lsb_rel, meta, ref_sample
+    -- u32 [n_rsi*rsi]) -> u8 [n_rsi*S*bsz]."""
     key = (cfg, n_rsi)
     fn = _DEC_JIT_CACHE.get(key)
     if fn is None:
@@ -62,22 +62,26 @@ def _jax_decode_fn(cfg, n_rsi):
 
         import jax
 
-        from .kernels import decode_pallas
+        from .kernels import decode_pallas, unpredict_pallas
         from .ops import bitunpack
         from .ops.unpredict import samples_to_bytes_device, unpredict_rsis
 
         S = cfg.samples_per_rsi
-        use_pallas = (
+        pallas_ok = (
             jax.default_backend() == "tpu"
             and not os.environ.get("LIBAEC_TPU_NO_PALLAS")
-            and decode_pallas.kernel_supported(cfg)
         )
+        use_pallas = pallas_ok and decode_pallas.kernel_supported(cfg)
+        use_up_pallas = pallas_ok and unpredict_pallas.kernel_supported(
+            cfg, n_rsi)
 
-        def run(words, fs_word, fs_bit, lsb_rel, meta, ref_sample):
+        def run(win, fs_bit, lsb_rel, meta, ref_sample):
             deltas = bitunpack.decode_blocks(
-                cfg, words, fs_word, fs_bit, lsb_rel, meta, ref_sample,
+                cfg, win, fs_bit, lsb_rel, meta, ref_sample,
                 use_pallas=use_pallas)
-            samples = unpredict_rsis(cfg, deltas.reshape(n_rsi, S))
+            d = deltas.reshape(n_rsi, S)
+            samples = (unpredict_pallas.unpredict_rsis_pallas(cfg, d)
+                       if use_up_pallas else unpredict_rsis(cfg, d))
             return samples_to_bytes_device(cfg, samples.reshape(-1))
 
         fn = jax.jit(run)
@@ -85,15 +89,19 @@ def _jax_decode_fn(cfg, n_rsi):
     return fn
 
 
-def stream_words_np(data, cfg):
-    """Big-endian u32 word view of the stream (bit 31 of word 0 = stream
-    bit 0), zero-padded so all in-kernel gathers stay in bounds."""
-    from .ops import bitunpack
-
-    nwords = (len(data) + 3) // 4
-    buf = np.zeros((nwords + bitunpack.pad_words(cfg)) * 4, np.uint8)
-    buf[: len(data)] = np.frombuffer(data, np.uint8)
-    return buf.view(">u4").astype(np.uint32)
+def scan_record_arrays(recs):
+    """Device input arrays from a native.scan_blocks record dict:
+    (win, fs_bit, lsb_rel, meta, ref_sample)."""
+    fs_off = recs["fs_off"]
+    return (
+        recs["win"],
+        (fs_off & np.uint64(31)).astype(np.uint32),
+        # LSB region offset relative to the payload start (zero-run
+        # records carry fs_off == lsb_off == 0, so this stays 0)
+        (recs["lsb_off"] - fs_off).astype(np.uint32),
+        recs["meta"],
+        recs["ref_sample"],
+    )
 
 
 def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None):
@@ -116,27 +124,15 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None):
     want_rsis = max_samples // S
 
     res = native.scan_blocks(data, want_rsis, bitunpack.max_fs_bits(cfg),
-                             cfg) if want_rsis else None
+                             cfg, wf=bitunpack.window_words(cfg)) \
+        if want_rsis else None
     if res is None and want_rsis:
         return decode_buffer_status(data, cfg, out_size)
     recs, n_rsis, tail_bit = res if res else ({}, 0, 0)
 
     parts = []
     if n_rsis:
-        import jax
-
-        words = jax.device_put(stream_words_np(data, cfg))
-
-        fs_off = recs["fs_off"]
-        arrs = (
-            (fs_off >> np.uint64(5)).astype(np.uint32),
-            (fs_off & np.uint64(31)).astype(np.uint32),
-            # LSB region offset relative to the payload start (zero-run
-            # records carry fs_off == lsb_off == 0, so this stays 0)
-            (recs["lsb_off"] - fs_off).astype(np.uint32),
-            recs["meta"],
-            recs["ref_sample"],
-        )
+        arrs = scan_record_arrays(recs)
 
         if chunk_rsis is None:
             # ~8M delta samples (32 MB u32) per device dispatch
@@ -152,12 +148,14 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None):
             for a in arrs:
                 seg = a[lo:hi]
                 if len(seg) < nrec:  # pad with zero-kind (all-zero) records
-                    seg = np.pad(seg, (0, nrec - len(seg)))
+                    pad_w = ((0, nrec - len(seg)),) + ((0, 0),) * (a.ndim - 1)
+                    seg = np.pad(seg, pad_w)
                 chunk_arrs.append(seg)
             fn = _jax_decode_fn(cfg, cpad)
-            pending.append((fn(words, *chunk_arrs), cnt))
-        for dev_bytes, cnt in pending:
-            parts.append(np.asarray(dev_bytes)[: cnt * S * bsz].tobytes())
+            pending.append((fn(*chunk_arrs), cnt))
+        for dev_out, cnt in pending:
+            by = np.asarray(dev_out).view(np.uint8)
+            parts.append(by[: cnt * S * bsz].tobytes())
 
     done_bytes = n_rsis * S * bsz
     res = native.decode_tail(data, tail_bit, out_size - done_bytes, cfg)

@@ -50,8 +50,8 @@ def _shift_down_subl(v, s, fill=0):
     return jnp.concatenate([top, v[:-s]], axis=0)
 
 
-def decode_tile_kernel(win_ref, fsbit_ref, lsbrel_ref, meta_ref,
-                       val_ref, fs_ref, *, cfg, T, Wf):
+def decode_tile_kernel(win_ref, fsbit_ref, lsbrel_ref, meta_ref, refs_ref,
+                       out_ref, *, cfg, T, Wf):
     u32, i32 = jnp.uint32, jnp.int32
     bs = cfg.block_size
     bps = cfg.bits_per_sample
@@ -61,6 +61,7 @@ def decode_tile_kernel(win_ref, fsbit_ref, lsbrel_ref, meta_ref,
     fs_bit = fsbit_ref[:]    # u32 [1, T]
     lsb_rel = lsbrel_ref[:]  # u32 [1, T]
     meta = meta_ref[:]       # u32 [1, T]
+    ref_sample = refs_ref[:]  # u32 [1, T]
 
     kind = meta & u32(3)
     k = (meta >> u32(2)) & u32(31)
@@ -141,8 +142,27 @@ def decode_tile_kernel(win_ref, fsbit_ref, lsbrel_ref, meta_ref,
     fsp = jnp.where(ref == u32(1), fs_dn, fs)
     val = (fsp << k) | field  # uncomp: fs==0; zero: both 0
 
-    val_ref[:] = val.T
-    fs_ref[:] = fs.T
+    # second extension: codes live in fs rows 0..bs/2-1; unpair in closed
+    # form (decode.c:560-616 semantics, no 182-entry table)
+    m2 = jnp.broadcast_to(fs[: bs // 2][:, None, :],
+                          (bs // 2, 2, T)).reshape(bs, T)
+    # u32->f32 casts don't lower in Mosaic; SE codes are < 2^13, so round-
+    # trip through i32
+    m2f = m2.astype(i32).astype(jnp.float32)
+    i0 = ((jnp.sqrt(8.0 * m2f + 1.0) - 1.0) * 0.5).astype(i32).astype(u32)
+
+    def _corr(i):
+        i = i + ((i + u32(1)) * (i + u32(2)) // u32(2) <= m2).astype(u32)
+        return i - (i * (i + u32(1)) // u32(2) > m2).astype(u32)
+
+    ii = _corr(_corr(i0))
+    vb = m2 - ii * (ii + u32(1)) // u32(2)
+    va = ii - vb
+    se_val = jnp.where((j & u32(1)) == u32(0), va, vb)
+
+    out = jnp.where(is_se, se_val, val)
+    out = jnp.where((ref == u32(1)) & (j == u32(0)), ref_sample, out)
+    out_ref[:] = out.T
 
 
 @functools.lru_cache(maxsize=None)
@@ -159,15 +179,10 @@ def _build_call(cfg, NB, T, interpret):
             pl.BlockSpec((1, T), lambda i: (0, i)),
             pl.BlockSpec((1, T), lambda i: (0, i)),
             pl.BlockSpec((1, T), lambda i: (0, i)),
+            pl.BlockSpec((1, T), lambda i: (0, i)),
         ],
-        out_specs=[
-            pl.BlockSpec((T, bs), lambda i: (i, 0)),
-            pl.BlockSpec((T, bs), lambda i: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((NB, bs), jnp.uint32),
-            jax.ShapeDtypeStruct((NB, bs), jnp.uint32),
-        ],
+        out_specs=pl.BlockSpec((T, bs), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((NB, bs), jnp.uint32),
         interpret=interpret,
     )
 
@@ -176,17 +191,19 @@ def kernel_supported(cfg):
     return 8 <= cfg.block_size <= 64
 
 
-def decode_payload_pallas(cfg, win, fs_bit, lsb_rel, meta, tile=512,
-                          interpret=False):
-    """win: u32 [NB, Wf] pre-gathered (unmasked) payload windows; record
-    vectors u32 [NB].  Returns (val, fs) u32 [NB, bs].  NB is padded to a
-    tile multiple internally (zero records decode to zero)."""
+def decode_payload_pallas(cfg, win, fs_bit, lsb_rel, meta, ref_sample,
+                          tile=512, interpret=False):
+    """win: u32 [NB, Wf] scan-materialised (unmasked) payload windows;
+    record vectors u32 [NB].  Returns mapped deltas u32 [NB, bs].  NB is
+    padded to a tile multiple internally (zero records decode to zero)."""
     NB = win.shape[0]
     pad = (-NB) % tile
     if pad:
         zcol = lambda a: jnp.pad(a, ((0, pad),))  # noqa: E731
         win = jnp.pad(win, ((0, pad), (0, 0)))
-        fs_bit, lsb_rel, meta = map(zcol, (fs_bit, lsb_rel, meta))
+        fs_bit, lsb_rel, meta, ref_sample = map(
+            zcol, (fs_bit, lsb_rel, meta, ref_sample))
     call = _build_call(cfg, NB + pad, tile, interpret)
-    val, fs = call(win, fs_bit[None, :], lsb_rel[None, :], meta[None, :])
-    return val[:NB], fs[:NB]
+    out = call(win, fs_bit[None, :], lsb_rel[None, :], meta[None, :],
+               ref_sample[None, :])
+    return out[:NB]

@@ -185,14 +185,22 @@ def encode_tile_kernel(
     zero_emit = run_end
 
     # ---- fs tables + candidate lengths (encode.c:313-410) ----------------
-    d_hi = d >> u32(16)
-    fhi_rows, flo_rows = [], []
-    for k in range(K_dom):
-        ku = u32(k)
-        fhi_rows.append(_sum_u32(d_hi >> ku))
-        flo_rows.append(_sum_u32((d >> ku) & u32(0xFFFF)))
-    Fhi = jnp.concatenate(fhi_rows, axis=0)            # [K_dom, nbT]
-    Flo = jnp.concatenate(flo_rows, axis=0)
+    if bps <= 16:
+        # mapped deltas fit 16 bits: every high-half sum is zero, so the
+        # 32-bit (hi, lo) split degenerates to the plain sums (which fit:
+        # 64 samples x 16 bits < 2^22)
+        flo_rows = [_sum_u32(d >> u32(k)) for k in range(K_dom)]
+        Flo = jnp.concatenate(flo_rows, axis=0)        # [K_dom, nbT]
+        Fhi = jnp.zeros((K_dom, nbT), u32)
+    else:
+        d_hi = d >> u32(16)
+        fhi_rows, flo_rows = [], []
+        for k in range(K_dom):
+            ku = u32(k)
+            fhi_rows.append(_sum_u32(d_hi >> ku))
+            flo_rows.append(_sum_u32((d >> ku) & u32(0xFFFF)))
+        Fhi = jnp.concatenate(fhi_rows, axis=0)        # [K_dom, nbT]
+        Flo = jnp.concatenate(flo_rows, axis=0)
     kk = jax.lax.broadcasted_iota(i32, (K_dom, nbT), 0)
     kku = kk.astype(u32)
     Llo = Flo + this_bs * (kku + u32(1))

@@ -78,6 +78,7 @@ def get_lib():
                 ctypes.c_size_t, ctypes.c_int,         # max_rsis, max_fs_bits
                 ctypes.c_void_p, ctypes.c_void_p,      # fs_off, lsb_off
                 ctypes.c_void_p, ctypes.c_void_p,      # meta, ref_sample
+                ctypes.c_void_p, ctypes.c_int,         # win, wf
                 ctypes.POINTER(ctypes.c_size_t),       # n_rsis_out
                 ctypes.POINTER(ctypes.c_uint64),       # tail_bit_out
                 ctypes.c_uint, ctypes.c_uint, ctypes.c_uint, ctypes.c_uint,
@@ -157,12 +158,14 @@ def scan_rsis(data, start_bit: int, max_rsis: int, cfg):
     return n_rsis.value, end_bit.value
 
 
-def scan_blocks(data, max_rsis: int, max_fs_bits: int, cfg):
+def scan_blocks(data, max_rsis: int, max_fs_bits: int, cfg, wf=0):
     """Phase-1 structural scan for the device decoder.
 
     Walks the stream once (popcount-bulk FS skipping, no sample
     reconstruction) and emits one payload record per output block for every
     complete RSI whose FS regions fit the device kernel's static window.
+    With wf > 0 it also materialises each block's wf-word payload window
+    ("win", u32 [n, wf]) so the device never gathers from the raw stream.
 
     Returns (records dict of numpy arrays sized n_rsis*rsi, n_rsis,
     tail_bit) or None if the native library is unavailable.  The serial
@@ -178,6 +181,7 @@ def scan_blocks(data, max_rsis: int, max_fs_bits: int, cfg):
     lsb_off = np.empty(nrec, np.uint64)
     meta = np.empty(nrec, np.uint32)
     ref_sample = np.empty(nrec, np.uint32)
+    win = np.empty((nrec, wf), np.uint32) if wf else None
     n_rsis = ctypes.c_size_t(0)
     tail_bit = ctypes.c_uint64(0)
     inview = np.frombuffer(data, np.uint8) if len(data) else \
@@ -189,6 +193,7 @@ def scan_blocks(data, max_rsis: int, max_fs_bits: int, cfg):
         lsb_off.ctypes.data_as(ctypes.c_void_p),
         meta.ctypes.data_as(ctypes.c_void_p),
         ref_sample.ctypes.data_as(ctypes.c_void_p),
+        win.ctypes.data_as(ctypes.c_void_p) if wf else None, wf,
         ctypes.byref(n_rsis), ctypes.byref(tail_bit),
         cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
     )
@@ -201,6 +206,8 @@ def scan_blocks(data, max_rsis: int, max_fs_bits: int, cfg):
         "meta": meta[:n],
         "ref_sample": ref_sample[:n],
     }
+    if wf:
+        recs["win"] = win[:n]
     return recs, n_rsis.value, tail_bit.value
 
 

@@ -61,11 +61,13 @@ struct Params {
     bool pp() const { return flags & FLAG_PREPROCESS; }
 };
 
-// Owns a zero-padded copy of the input so 64-bit window loads can run past
-// the logical end; shared read-only by all cursors (incl. worker threads).
+// Owns a zero-padded copy of the input so 64-bit window loads -- and the
+// device decoder's per-block payload windows (up to 66 u32 words past a
+// payload start) -- can run past the logical end; shared read-only by all
+// cursors (incl. worker threads).
 struct PaddedInput {
     PaddedInput(const uint8_t* data, size_t len) : nbits(8 * len) {
-        buf.resize(len + 16, 0);
+        buf.resize(len + 288, 0);
         if (len) std::memcpy(buf.data(), data, len);
     }
     std::vector<uint8_t> buf;
@@ -436,6 +438,12 @@ struct BlockRecSink {
                            // FS region); == fs_off for uncomp/se; 0 for zero
     uint32_t* meta;        // kind | k << 2 | ref << 7
     uint32_t* ref_sample;  // raw reference sample (first block of RSI, pp)
+    uint32_t* win;         // optional [n, wf] native-endian payload windows
+                           // (the wf big-endian stream words from the
+                           // payload's word): shipping these instead of the
+                           // raw stream removes the device-side gather
+    int wf = 0;
+    const uint8_t* stream = nullptr;  // PaddedInput bytes (over-padded)
     size_t n = 0;
 
     void push(uint64_t fso, uint64_t lsbo, uint32_t kind, uint32_t k,
@@ -444,6 +452,18 @@ struct BlockRecSink {
         lsb_off[n] = lsbo;
         meta[n] = kind | (k << 2) | (ref << 7);
         ref_sample[n] = refs;
+        if (win && kind != KIND_ZERO) {  // zero blocks never read their win
+            const uint8_t* src = stream + ((fso >> 5) << 2);
+            uint32_t* dst = win + (size_t)wf * n;
+            for (int w = 0; w < wf; w++) {
+                uint32_t v;
+                std::memcpy(&v, src + 4 * w, 4);
+#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+                v = __builtin_bswap32(v);
+#endif
+                dst[w] = v;
+            }
+        }
         n++;
     }
 };
@@ -865,15 +885,17 @@ int aectpu_scan_rsis(const uint8_t* in, size_t in_len, uint64_t start_bit,
 // max_fs_bits is the device kernel's static FS window in bits.
 int aectpu_scan_blocks(const uint8_t* in, size_t in_len, size_t max_rsis,
                        int max_fs_bits, uint64_t* fs_off, uint64_t* lsb_off,
-                       uint32_t* meta, uint32_t* ref_sample,
-                       size_t* n_rsis_out, uint64_t* tail_bit_out,
+                       uint32_t* meta, uint32_t* ref_sample, uint32_t* win,
+                       int wf, size_t* n_rsis_out, uint64_t* tail_bit_out,
                        unsigned bits_per_sample, unsigned block_size,
                        unsigned rsi, unsigned flags) {
     Params p{bits_per_sample, block_size, rsi, flags};
     if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
+    if (wf > 66) return AEC_CONF_ERROR;  // PaddedInput's over-pad bound
     PaddedInput input(in, in_len);
     BitCursor bits(input, 0);
-    BlockRecSink rec{fs_off, lsb_off, meta, ref_sample};
+    BlockRecSink rec{fs_off, lsb_off, meta, ref_sample, win, wf,
+                     input.buf.data()};
     size_t n_rsis = 0;
     while (n_rsis < max_rsis) {
         uint64_t rsi_start = bits.pos();

@@ -55,31 +55,20 @@ def max_fs_bits(cfg):
     return cfg.block_size * cfg.bits_per_sample
 
 
-def pad_words(cfg):
-    """Zero words the host must append after the stream so the window
-    fetch stays in bounds."""
-    return window_words(cfg) + 2
-
-
-def decode_blocks(cfg, words, fs_word, fs_bit, lsb_rel, meta, ref_sample,
+def decode_blocks(cfg, win, fs_bit, lsb_rel, meta, ref_sample,
                   use_pallas=False, interpret=False):
-    """Decode all block payloads.  words: u32 [W] big-endian-packed stream
-    (bit 31 of words[0] is stream bit 0), zero-padded by pad_words(cfg);
-    record arrays are u32 [NB]: fs_word/fs_bit locate the payload start,
-    lsb_rel is the LSB region's offset in bits relative to the payload
-    start.  Returns mapped deltas u32 [NB, block_size]."""
-    u32 = jnp.uint32
-    Wf = window_words(cfg)
-    # the one gather: per-block payload windows
-    widx = fs_word[:, None] + jnp.arange(Wf, dtype=u32)[None, :]
-    win = words[widx]  # [NB, Wf]
+    """Decode all block payloads.  win: u32 [NB, Wf] per-block payload
+    windows (the Wf big-endian stream words from each payload's word,
+    materialised by the native scan -- no device-side gather); record
+    arrays are u32 [NB]: fs_bit is the payload start within window word 0,
+    lsb_rel the LSB region's offset in bits relative to the payload start.
+    Returns mapped deltas u32 [NB, block_size]."""
     if use_pallas:
         from ..kernels.decode_pallas import decode_payload_pallas
 
-        val, fs = decode_payload_pallas(cfg, win, fs_bit, lsb_rel, meta,
-                                        interpret=interpret)
-    else:
-        val, fs = _decode_payload_xla(cfg, win, fs_bit, lsb_rel, meta)
+        return decode_payload_pallas(cfg, win, fs_bit, lsb_rel, meta,
+                                     ref_sample, interpret=interpret)
+    val, fs = _decode_payload_xla(cfg, win, fs_bit, lsb_rel, meta)
     return compose_blocks(cfg, val, fs, meta, ref_sample)
 
 

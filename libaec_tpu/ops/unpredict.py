@@ -65,28 +65,48 @@ def unpredict_rsis(cfg, deltas):
 
 
 def samples_to_bytes_device(cfg, samples):
-    """u32 [n] samples -> u8 [n*bsz] in the stream's byte layout
-    (decode.c:144-189 put_* equivalents), on device.
+    """u32 [n] samples -> the stream's byte layout (decode.c:144-189 put_*
+    equivalents), on device.
 
-    1/2/4-byte layouts go through a (possibly byte-swapped) bitcast --
-    widening reinterpretation is little-endian on every XLA backend, so an
-    MSB stream just needs the swap first.  3-byte packing has no aligned
-    reinterpretation; it keeps the generic stack."""
+    Returns the output as packed little-endian u32 *words* whenever the
+    total byte count divides by 4 (always true for whole RSIs): building
+    words arithmetically keeps everything in 32-bit VPU registers, where
+    u8 stacking pays relayout passes.  The host views the fetched buffer
+    as bytes (np.view(uint8)); callers needing device-side u8 get it via
+    the bitcast fallback."""
     u32 = jnp.uint32
     bsz = cfg.bytes_per_sample
-    if bsz == 1:
-        return samples.astype(jnp.uint8)
-    if bsz == 2:
-        h = samples.astype(jnp.uint16)
-        if cfg.msb:
-            h = (h << jnp.uint16(8)) | (h >> jnp.uint16(8))
-        return jax.lax.bitcast_convert_type(h, jnp.uint8).reshape(-1)
-    if bsz == 4:
-        w = samples
-        if cfg.msb:
-            w = ((w >> u32(24)) | ((w >> u32(8)) & u32(0xFF00))
-                 | ((w << u32(8)) & u32(0xFF0000)) | (w << u32(24)))
-        return jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(-1)
+    n = samples.shape[0]
+
+    def byte(v, i):  # i-th stream byte of each sample, as u32
+        sh = 8 * ((bsz - 1 - i) if cfg.msb else i)
+        return (v >> u32(sh)) & u32(0xFF)
+
+    if (n * bsz) % 4 == 0:
+        spw = 4 // bsz if bsz in (1, 2, 4) else 4  # samples per word group
+        if bsz == 4:
+            w = samples
+            if cfg.msb:
+                w = ((w >> u32(24)) | ((w >> u32(8)) & u32(0xFF00))
+                     | ((w << u32(8)) & u32(0xFF0000)) | (w << u32(24)))
+            return w
+        if bsz in (1, 2):
+            g = samples.reshape(n // spw, spw)
+            word = jnp.zeros((n // spw,), u32)
+            for s in range(spw):
+                for b in range(bsz):
+                    word = word | (byte(g[:, s], b) << u32(8 * (s * bsz + b)))
+            return word
+        # bsz == 3: 4 samples -> 3 words
+        g = samples.reshape(n // 4, 4)
+        sbytes = [byte(g[:, s], b) for s in range(4) for b in range(3)]
+        words = [
+            sbytes[4 * wi] | (sbytes[4 * wi + 1] << u32(8))
+            | (sbytes[4 * wi + 2] << u32(16)) | (sbytes[4 * wi + 3] << u32(24))
+            for wi in range(3)
+        ]
+        return jnp.stack(words, axis=-1).reshape(-1)
+
     sh = range(8 * (bsz - 1), -8, -8) if cfg.msb else range(0, 8 * bsz, 8)
     parts = [((samples >> u32(s)) & u32(0xFF)).astype(jnp.uint8) for s in sh]
     return jnp.stack(parts, axis=-1).reshape(-1)

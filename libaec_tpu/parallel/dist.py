@@ -132,15 +132,15 @@ def make_mesh_decoder(cfg, n_rsi_per_shard, mesh, axis_name="data"):
     """Sharded phase-2 decode over the mesh.
 
     Phase 1 (the host-side structural scan, native.scan_blocks) is serial
-    per stream; its per-block records are embarrassingly parallel to
-    consume, so the mesh program shards RSI batches of records across
-    chips -- each shard runs the device entropy decode (ops/bitunpack.py),
-    the lane-parallel inverse predictor and the byte layout locally on its
-    slice, with the packed stream words replicated (every shard reads only
-    its own windows from them).  No collectives are needed: output bytes
-    are fixed-stride per RSI, so the result is sharded on the same axis.
+    per stream; its per-block records -- including the materialised payload
+    windows -- are embarrassingly parallel to consume, so the mesh program
+    shards RSI batches of records across chips: each shard runs the device
+    entropy decode (ops/bitunpack.py), the lane-parallel inverse predictor
+    and the byte layout locally on its slice.  Nothing is replicated and no
+    collectives are needed: output bytes are fixed-stride per RSI, so the
+    result is sharded on the same axis.
 
-    Returns run(words, fs_word, fs_bit, lsb_rel, meta, ref_sample) ->
+    Returns run(win, fs_bit, lsb_rel, meta, ref_sample) ->
     u8 [n_shards * shard_bytes]."""
     import jax
     from jax.experimental.shard_map import shard_map
@@ -151,16 +151,16 @@ def make_mesh_decoder(cfg, n_rsi_per_shard, mesh, axis_name="data"):
 
     S = cfg.samples_per_rsi
 
-    def shard_fn(words, fs_word, fs_bit, lsb_rel, meta, ref_sample):
-        deltas = bitunpack.decode_blocks(cfg, words, fs_word, fs_bit,
-                                         lsb_rel, meta, ref_sample)
+    def shard_fn(win, fs_bit, lsb_rel, meta, ref_sample):
+        deltas = bitunpack.decode_blocks(cfg, win, fs_bit, lsb_rel, meta,
+                                         ref_sample)
         samples = unpredict_rsis(cfg, deltas.reshape(n_rsi_per_shard, S))
         return samples_to_bytes_device(cfg, samples.reshape(-1))
 
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(axis_name), P(axis_name), P(axis_name),
+        in_specs=(P(axis_name, None), P(axis_name), P(axis_name),
                   P(axis_name), P(axis_name)),
         out_specs=P(axis_name),
     )

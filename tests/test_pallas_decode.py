@@ -11,7 +11,7 @@ from libaec_tpu.constants import (
     AEC_DATA_PREPROCESS,
     AEC_DATA_SIGNED,
 )
-from libaec_tpu.decode import stream_words_np
+from libaec_tpu.decode import scan_record_arrays
 from libaec_tpu.encode import encode_buffer
 from libaec_tpu.ops import bitunpack
 
@@ -21,16 +21,10 @@ pytestmark = pytest.mark.skipif(native.get_lib() is None,
 
 def _records(cfg, comp, n_rsis):
     recs, n_ok, _ = native.scan_blocks(comp, n_rsis,
-                                       bitunpack.max_fs_bits(cfg), cfg)
+                                       bitunpack.max_fs_bits(cfg), cfg,
+                                       wf=bitunpack.window_words(cfg))
     assert n_ok == n_rsis
-    fs_off = recs["fs_off"]
-    return (
-        (fs_off >> np.uint64(5)).astype(np.uint32),
-        (fs_off & np.uint64(31)).astype(np.uint32),
-        (recs["lsb_off"] - fs_off).astype(np.uint32),
-        recs["meta"],
-        recs["ref_sample"],
-    )
+    return scan_record_arrays(recs)
 
 
 CASES = [
@@ -48,11 +42,10 @@ def _deltas(cfg, raw, use_pallas, interpret):
     comp = encode_buffer(raw, cfg)
     n_rsis = len(raw) // cfg.rsi_len_bytes
     arrs = _records(cfg, comp, n_rsis)
-    words = stream_words_np(comp, cfg)
     out = jax.jit(
-        lambda w, *a: bitunpack.decode_blocks(
-            cfg, w, *a, use_pallas=use_pallas, interpret=interpret)
-    )(words, *arrs)
+        lambda *a: bitunpack.decode_blocks(
+            cfg, *a, use_pallas=use_pallas, interpret=interpret)
+    )(*arrs)
     return np.asarray(out)
 
 
@@ -88,4 +81,54 @@ def test_pallas_decode_matches_xla_tpu():
     raw = gen.pack_samples(vals, 16, cfg.flags)
     ref = _deltas(cfg, raw, use_pallas=False, interpret=False)
     got = _deltas(cfg, raw, use_pallas=True, interpret=False)
+    assert (got == ref).all()
+
+
+def _unpred_cases():
+    from libaec_tpu.constants import AEC_DATA_PREPROCESS
+
+    return [
+        (Config(16, 64, 32, AEC_DATA_MSB | AEC_DATA_PREPROCESS), 16),
+        (Config(16, 64, 32,
+                AEC_DATA_MSB | AEC_DATA_SIGNED | AEC_DATA_PREPROCESS), 16),
+        (Config(8, 8, 16, AEC_DATA_PREPROCESS), 24),
+        (Config(32, 64, 8, AEC_DATA_MSB | AEC_DATA_PREPROCESS), 8),
+    ]
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_unpredict_pallas_matches_xla_interpret(case):
+    import jax
+
+    from libaec_tpu.kernels import unpredict_pallas
+    from libaec_tpu.ops.unpredict import unpredict_rsis
+
+    cfg, n_rsi = _unpred_cases()[case]
+    assert unpredict_pallas.kernel_supported(cfg, n_rsi)
+    rng = np.random.default_rng(case)
+    deltas = rng.integers(0, 1 << min(cfg.bits_per_sample, 31),
+                          (n_rsi, cfg.samples_per_rsi), dtype=np.uint32)
+    ref = np.asarray(jax.jit(lambda d: unpredict_rsis(cfg, d))(deltas))
+    got = np.asarray(jax.jit(
+        lambda d: unpredict_pallas.unpredict_rsis_pallas(
+            cfg, d, interpret=True))(deltas))
+    assert (got == ref).all()
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu",
+    reason="real Mosaic lowering needs a TPU")
+def test_unpredict_pallas_matches_xla_tpu():
+    import jax
+
+    from libaec_tpu.kernels import unpredict_pallas
+    from libaec_tpu.ops.unpredict import unpredict_rsis
+
+    cfg, n_rsi = _unpred_cases()[0]
+    rng = np.random.default_rng(9)
+    deltas = rng.integers(0, 1 << 16, (n_rsi, cfg.samples_per_rsi),
+                          dtype=np.uint32)
+    ref = np.asarray(jax.jit(lambda d: unpredict_rsis(cfg, d))(deltas))
+    got = np.asarray(jax.jit(
+        lambda d: unpredict_pallas.unpredict_rsis_pallas(cfg, d))(deltas))
     assert (got == ref).all()

@@ -12,7 +12,7 @@ sys.path.insert(0, str(REPO))
 
 from libaec_tpu import Config, native  # noqa: E402
 from libaec_tpu.constants import AEC_DATA_MSB, AEC_DATA_PREPROCESS  # noqa: E402
-from libaec_tpu.decode import stream_words_np  # noqa: E402
+from libaec_tpu.decode import scan_record_arrays  # noqa: E402
 from libaec_tpu.encode import encode_buffer  # noqa: E402
 from libaec_tpu.kernels import decode_pallas  # noqa: E402
 from libaec_tpu.ops import bitunpack  # noqa: E402
@@ -36,15 +36,15 @@ def timeit(label, f, *args, base=0.0, n=4):
     best = float("inf")
     for _ in range(n):
         t0 = time.time()
-        sync(f(*args))
-        best = min(best, time.time() - t0)
-    print(f"{label}: {1e3*(best - base):7.1f} ms  (raw {1e3*best:.1f})")
+        outs = [f(*args) for _ in range(8)]  # pipelined x8
+        sync(outs[-1])
+        best = min(best, (time.time() - t0) / 8)
+    print(f"{label}: {1e3*(best - base):7.2f} ms  (raw {1e3*best:.2f})")
     return best - base
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     rz = REPO.parent / "reference" / "data" / "typical.rz"
     status, typical = native.decode(rz.read_bytes(), 1 << 20, CFG)
@@ -52,53 +52,51 @@ def main():
     raw = typical * 16  # 16 MiB
     comp = encode_buffer(raw, CFG)
     n_rsis = len(raw) // CFG.rsi_len_bytes
-    recs, n_ok, tail_bit = native.scan_blocks(
-        comp, n_rsis, bitunpack.max_fs_bits(CFG), CFG)
+
+    t0 = time.time()
+    recs, n_ok, _ = native.scan_blocks(
+        comp, n_rsis, bitunpack.max_fs_bits(CFG), CFG,
+        wf=bitunpack.window_words(CFG))
+    print(f"scan+windows (host): {1e3*(time.time()-t0):.1f} ms")
     assert n_ok == n_rsis
 
-    words = jax.device_put(stream_words_np(comp, CFG))
-    fs_off = recs["fs_off"]
-    fsw, fsb, lsbr, meta, refs = [jax.device_put(a) for a in (
-        (fs_off >> np.uint64(5)).astype(np.uint32),
-        (fs_off & np.uint64(31)).astype(np.uint32),
-        (recs["lsb_off"] - fs_off).astype(np.uint32),
-        recs["meta"], recs["ref_sample"])]
+    win, fsb, lsbr, meta, refs = [jax.device_put(a)
+                                  for a in scan_record_arrays(recs)]
     sync(refs)
-
-    Wf = bitunpack.window_words(CFG)
 
     null = jax.jit(lambda a: a[:8] + 1)
     base = timeit("null      ", null, meta)
 
-    gather = jax.jit(lambda w, o: w[
-        o[:, None] + jnp.arange(Wf, dtype=jnp.uint32)[None, :]])
-    win = gather(words, fsw)
-    sync(win)
-    timeit("gather    ", gather, words, fsw, base=base)
-
     pal = jax.jit(lambda *a: decode_pallas.decode_payload_pallas(CFG, *a))
-    val, fs = pal(win, fsb, lsbr, meta)
-    sync(val)
-    timeit("pallas    ", pal, win, fsb, lsbr, meta, base=base)
-
-    xla = jax.jit(lambda *a: bitunpack._decode_payload_xla(CFG, *a))
-    sync(xla(win, fsb, lsbr, meta))
-    timeit("payloadXLA", xla, win, fsb, lsbr, meta, base=base)
-
-    comp_fn = jax.jit(
-        lambda v, f, m, r: bitunpack.compose_blocks(CFG, v, f, m, r))
-    deltas = comp_fn(val, fs, meta, refs)
+    deltas = pal(win, fsb, lsbr, meta, refs)
     sync(deltas)
-    timeit("compose   ", comp_fn, val, fs, meta, refs, base=base)
+    timeit("pallas    ", pal, win, fsb, lsbr, meta, refs, base=base)
+
+    xla = jax.jit(lambda *a: bitunpack.decode_blocks(CFG, *a))
+    sync(xla(win, fsb, lsbr, meta, refs))
+    timeit("full XLA  ", xla, win, fsb, lsbr, meta, refs, base=base)
 
     unpred = jax.jit(lambda d: unpredict_rsis(CFG, d.reshape(n_rsis, S)))
     samples = unpred(deltas)
     sync(samples)
-    timeit("unpredict ", unpred, deltas, base=base)
+    timeit("unpred XLA", unpred, deltas, base=base)
+
+    from libaec_tpu.kernels import unpredict_pallas
+
+    upp = jax.jit(lambda d: unpredict_pallas.unpredict_rsis_pallas(
+        CFG, d.reshape(n_rsis, S)))
+    sync(upp(deltas))
+    timeit("unpred PL ", upp, deltas, base=base)
 
     swiz = jax.jit(lambda s: samples_to_bytes_device(CFG, s.reshape(-1)))
     sync(swiz(samples))
     timeit("swizzle   ", swiz, samples, base=base)
+
+    from libaec_tpu.decode import _jax_decode_fn
+
+    full = _jax_decode_fn(CFG, n_rsis)
+    sync(full(win, fsb, lsbr, meta, refs))
+    timeit("full fn   ", full, win, fsb, lsbr, meta, refs, base=base)
 
 
 if __name__ == "__main__":

@@ -35,7 +35,7 @@ def main():
 
     from libaec_tpu import Config, native
     from libaec_tpu.constants import AEC_DATA_MSB, AEC_DATA_PREPROCESS
-    from libaec_tpu.decode import stream_words_np
+    from libaec_tpu.decode import scan_record_arrays
     from libaec_tpu.encode import encode_buffer
     from libaec_tpu.ops import accessors, bitunpack
     from libaec_tpu.parallel.dist import (
@@ -76,21 +76,16 @@ def main():
         t_dec = None
         if native.get_lib() is not None:
             recs, n_ok, _ = native.scan_blocks(
-                comp, n_rsi, bitunpack.max_fs_bits(cfg), cfg)
+                comp, n_rsi, bitunpack.max_fs_bits(cfg), cfg,
+                wf=bitunpack.window_words(cfg))
             assert n_ok == n_rsi
-            fs_off = recs["fs_off"]
-            arrs = [jnp.asarray(a) for a in (
-                (fs_off >> np.uint64(5)).astype(np.uint32),
-                (fs_off & np.uint64(31)).astype(np.uint32),
-                (recs["lsb_off"] - fs_off).astype(np.uint32),
-                recs["meta"], recs["ref_sample"])]
-            words = jnp.asarray(stream_words_np(comp, cfg))
+            arrs = [jnp.asarray(a) for a in scan_record_arrays(recs)]
             dec = make_mesh_decoder(cfg, args.rsis_per_shard, mesh)
             with mesh:
-                out = dec(words, *arrs)  # compile
+                out = dec(*arrs)  # compile
                 assert np.asarray(out).tobytes() == raw, f"N={n} decode"
                 t_dec = min(
-                    _timed(lambda: jax.block_until_ready(dec(words, *arrs)))
+                    _timed(lambda: jax.block_until_ready(dec(*arrs)))
                     for _ in range(args.iters))
 
         row = {"n": n, "mib": round(mib, 1),
