@@ -47,32 +47,37 @@ _szlib = None
 _padlib = None
 
 
-def available():
-    return (_REF_BUILD / "libaec.so").exists()
-
-
-def pad_available():
-    """The padded build is produced on demand from /root/reference (it is
-    a test fixture, not a repo artifact)."""
-    if (_REF_BUILD_PAD / "libaec.so").exists():
+def _build_ref(build_dir, extra_cflags=None):
+    """Build /root/reference out-of-source into build_dir (a test fixture,
+    not a repo artifact). Returns True iff libaec.so exists afterwards."""
+    if (build_dir / "src" / "libaec.so").exists():
         return True
     ref = Path("/root/reference")
     if not ref.exists():
         return False
     import subprocess
 
-    build = _REF_BUILD_PAD.parent
+    args = ["cmake", "-S", str(ref), "-B", str(build_dir),
+            "-DCMAKE_BUILD_TYPE=Release", "-G", "Ninja"]
+    if extra_cflags:
+        args.append(f"-DCMAKE_C_FLAGS={extra_cflags}")
     try:
-        subprocess.run(
-            ["cmake", "-S", str(ref), "-B", str(build),
-             "-DCMAKE_BUILD_TYPE=Release", "-G", "Ninja",
-             "-DCMAKE_C_FLAGS=-DENABLE_RSI_PADDING"],
-            check=True, capture_output=True, timeout=300)
-        subprocess.run(["ninja", "-C", str(build)],
+        subprocess.run(args, check=True, capture_output=True, timeout=300)
+        subprocess.run(["ninja", "-C", str(build_dir)],
                        check=True, capture_output=True, timeout=300)
     except Exception:
         return False
-    return (_REF_BUILD_PAD / "libaec.so").exists()
+    return (build_dir / "src" / "libaec.so").exists()
+
+
+def available():
+    return _build_ref(_REF_BUILD.parent)
+
+
+def pad_available():
+    """The encode side of AEC_PAD_RSI (encode.c:499-505) is compiled out of
+    the default build, so the padded oracle needs its own build tree."""
+    return _build_ref(_REF_BUILD_PAD.parent, "-DENABLE_RSI_PADDING")
 
 
 def _get_lib():

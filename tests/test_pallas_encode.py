@@ -115,6 +115,47 @@ def test_kernel_matrix(bps, flags):
         assert np.array_equal(wn[:nb_words], wk[:nb_words]), (kind, cfg)
 
 
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu",
+    reason="real Mosaic lowering needs a TPU")
+def test_kernel_and_merge_real_mosaic():
+    """Run the fused encode kernel AND the production Pallas tree merge
+    (group=256, as wired in encode._jax_chunk_fn) with interpret=False,
+    asserting bit-identity with the oracle-validated numpy pipeline."""
+    import jax.numpy as jnp
+
+    from libaec_tpu.backend import jax_backend
+    from libaec_tpu.kernels.merge_pallas import group_window_words
+
+    cfg = Config(16, 64, 256, AEC_DATA_MSB | AEC_DATA_PREPROCESS)
+    rng = np.random.default_rng(42)
+    x = gen_data(rng, cfg, 8, "mixed")
+    NB = x.shape[0] * cfg.rsi
+    worst = worst_case_bits_per_block(cfg)
+    local_words = (worst + 31) // 32 + 1
+
+    w, v, kf_np = pipeline_fields(NUMPY, cfg, x, cfg.rsi, 0)
+    group = 64
+    gw1 = group * (local_words + 1) + 1
+    nwords = (NB * worst + 8) // 32 + gw1 + 2
+    words_np, tb_np = bitpack.pack_fields_grouped(
+        NUMPY, w.reshape(NB, -1), v.reshape(NB, -1), 0, local_words,
+        nwords, group)
+
+    win, bbits, kf = encode_pallas.encode_chunk_fields_pallas(
+        cfg, jnp.asarray(x), 0, interpret=False)
+    pgroup = 256
+    pnwords = ((NB * worst + 8) // 32
+               + group_window_words(local_words, pgroup) + 3)
+    words_p, tb_p = bitpack.merge_block_windows_pallas(
+        jax_backend(), win, bbits, 0, local_words, pnwords, pgroup,
+        interpret=False)
+    assert int(kf) == int(kf_np)
+    assert int(tb_p) == int(tb_np)
+    nbw = (int(tb_np) + 31) // 32 + 1
+    assert np.array_equal(np.asarray(words_p)[:nbw], words_np[:nbw])
+
+
 def test_kernel_long_zero_and_ros():
     cfg = Config(16, 64, 256, AEC_DATA_MSB | AEC_DATA_PREPROCESS)
     S = cfg.samples_per_rsi
