@@ -72,6 +72,8 @@ def _jax_decode_fn(cfg, n_rsi):
             and not os.environ.get("LIBAEC_TPU_NO_PALLAS")
         )
         use_pallas = pallas_ok and decode_pallas.kernel_supported(cfg)
+        use_fused = pallas_ok and unpredict_pallas.fused_supported(
+            cfg, n_rsi)
         use_up_pallas = pallas_ok and unpredict_pallas.kernel_supported(
             cfg, n_rsi)
 
@@ -80,6 +82,11 @@ def _jax_decode_fn(cfg, n_rsi):
                 cfg, win, fs_bit, lsb_rel, meta, ref_sample,
                 use_pallas=use_pallas)
             d = deltas.reshape(n_rsi, S)
+            if use_fused:
+                # inverse predictor + byte layout in one kernel, natural
+                # layout end to end: the output IS the stream's u32 words
+                return unpredict_pallas.unpredict_swizzle_rsis_pallas(
+                    cfg, d)
             samples = (unpredict_pallas.unpredict_rsis_pallas(cfg, d)
                        if use_up_pallas else unpredict_rsis(cfg, d))
             return samples_to_bytes_device(cfg, samples.reshape(-1))

@@ -115,6 +115,64 @@ def test_unpredict_pallas_matches_xla_interpret(case):
     assert (got == ref).all()
 
 
+@pytest.mark.parametrize("case", range(4))
+def test_unpredict_swizzle_fused_interpret(case):
+    """The fused unpredict+swizzle kernel must emit exactly the stream's
+    byte layout (put_* semantics, decode.c:144-189) for the unpredicted
+    samples, including the no-preprocess passthrough."""
+    import jax
+
+    from libaec_tpu.kernels import unpredict_pallas
+    from libaec_tpu.ops.unpredict import (
+        samples_to_bytes_device,
+        unpredict_rsis,
+    )
+
+    cfg, n_rsi = _unpred_cases()[case]
+    if not unpredict_pallas.fused_supported(cfg, n_rsi):
+        pytest.skip("fused kernel does not cover this config")
+    if case == 3:
+        cfg = Config(cfg.bits_per_sample, cfg.block_size, cfg.rsi,
+                     cfg.flags & ~AEC_DATA_PREPROCESS)  # passthrough path
+    rng = np.random.default_rng(100 + case)
+    deltas = rng.integers(0, 1 << min(cfg.bits_per_sample, 31),
+                          (n_rsi, cfg.samples_per_rsi), dtype=np.uint32)
+    samples = jax.jit(lambda d: unpredict_rsis(cfg, d))(deltas)
+    ref = np.asarray(jax.jit(
+        lambda s: samples_to_bytes_device(cfg, s.reshape(-1)))(samples))
+    got = np.asarray(jax.jit(
+        lambda d: unpredict_pallas.unpredict_swizzle_rsis_pallas(
+            cfg, d, interpret=True))(deltas))
+    assert np.array_equal(ref.view(np.uint8).reshape(-1),
+                          got.view(np.uint8).reshape(-1))
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu",
+    reason="real Mosaic lowering needs a TPU")
+def test_unpredict_swizzle_fused_tpu():
+    import jax
+
+    from libaec_tpu.kernels import unpredict_pallas
+    from libaec_tpu.ops.unpredict import (
+        samples_to_bytes_device,
+        unpredict_rsis,
+    )
+
+    cfg, n_rsi = _unpred_cases()[0]
+    rng = np.random.default_rng(11)
+    deltas = rng.integers(0, 1 << 16, (n_rsi, cfg.samples_per_rsi),
+                          dtype=np.uint32)
+    samples = jax.jit(lambda d: unpredict_rsis(cfg, d))(deltas)
+    ref = np.asarray(jax.jit(
+        lambda s: samples_to_bytes_device(cfg, s.reshape(-1)))(samples))
+    got = np.asarray(jax.jit(
+        lambda d: unpredict_pallas.unpredict_swizzle_rsis_pallas(
+            cfg, d))(deltas))
+    assert np.array_equal(ref.view(np.uint8).reshape(-1),
+                          got.view(np.uint8).reshape(-1))
+
+
 @pytest.mark.skipif(
     __import__("jax").default_backend() != "tpu",
     reason="real Mosaic lowering needs a TPU")

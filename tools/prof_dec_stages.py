@@ -92,6 +92,11 @@ def main():
     sync(swiz(samples))
     timeit("swizzle   ", swiz, samples, base=base)
 
+    fused = jax.jit(lambda d: unpredict_pallas.unpredict_swizzle_rsis_pallas(
+        CFG, d.reshape(n_rsis, S)))
+    sync(fused(deltas))
+    timeit("unpred+swz", fused, deltas, base=base)
+
     from libaec_tpu.decode import _jax_decode_fn
 
     full = _jax_decode_fn(CFG, n_rsis)
