@@ -161,7 +161,9 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None):
             fn = _jax_decode_fn(cfg, cpad)
             pending.append((fn(*chunk_arrs), cnt))
         for dev_out, cnt in pending:
-            by = np.asarray(dev_out).view(np.uint8)
+            # the fused swizzle kernel returns [n_rsi, words]; flatten
+            # before the byte slice or a padded chunk is never truncated
+            by = np.asarray(dev_out).ravel().view(np.uint8)
             parts.append(by[: cnt * S * bsz].tobytes())
 
     done_bytes = n_rsis * S * bsz
