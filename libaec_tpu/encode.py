@@ -157,7 +157,9 @@ def _jax_chunk_fn(cfg, n_rsi, nb):
 
         if use_pallas:
             # VMEM tree merge: bigger groups shorten the stage C scan
-            pgroup = 256
+            # (group=1024 exceeds the 16M scoped-VMEM limit at tile width
+            # 33920; 512 is the measured sweet spot)
+            pgroup = 512
             pg_out = _mp.group_window_words(local_words, pgroup) + 1
             pnwords = (NB * worst + 8) // 32 + pg_out + 2
 

@@ -13,6 +13,19 @@ slice (Mosaic rejects concats of offset-layout vectors).  The per-pair
 bit/word shift amounts (left-sibling cumulative lengths) are precomputed in
 XLA from the block bit lengths -- they are tiny [NB/2^l] arrays.
 
+Two width optimisations keep the tree from paying for lane padding:
+
+  * **pair pre-pack** (when the block window fits 64 words): input windows
+    are padded to 64 words and two sibling blocks share one 128-lane row;
+    level 0 merges them in place with a half-row lane roll instead of the
+    row-pair reshape, halving the rows of every subsequent level.  Without
+    this, a 35-word window pads to 128 lanes and the whole tree carries
+    3.7x dead width.
+  * **level width caps**: after level l a node of 2^(l+1) blocks can hold
+    at most 2^(l+1)*(local_words-1)+3 words, so the working width is
+    clamped to that (rounded to a lane multiple) instead of doubling
+    unconditionally.
+
 Replaces the sequential carry of emit() (/root/reference/src/encode.c:61-83)
 at group granularity; bit-exact with the XLA stage B by construction.
 """
@@ -36,30 +49,71 @@ def group_window_words(local_words, group):
     return _round128(group * (local_words - 1) + 3)
 
 
-def _merge_tile_kernel(*refs, levels, local_words, GWout):
+def _level_caps(local_words, group, prepack):
+    """Static working width after each in-kernel level.  Entry i is the
+    width of a node of `blocks_after_level_i` blocks, clamped so the final
+    level equals group_window_words."""
+    levels = group.bit_length() - 1
+    caps = []
+    start = 2 if prepack else 1
+    nodes = start
+    # standard (reshape) levels only; the prepack level is fixed at 128
+    while nodes < group:
+        nodes *= 2
+        caps.append(group_window_words(local_words, nodes))
+    return caps
+
+
+def _merge_tile_kernel(*refs, levels, local_words, GWout, prepack, caps):
     win_ref = refs[0]
     o_refs = refs[1:1 + levels]
     sh_refs = refs[1 + levels:1 + 2 * levels]
     gwin_ref = refs[1 + 2 * levels]
 
     u32 = jnp.uint32
-    arr = win_ref[:]                       # [Rt, W0pad] u32
+    arr = win_ref[:]                       # [Rt(, /2), W0pad] u32
 
-    for lvl in range(levels):
+    lvl0 = 0
+    if prepack and levels:
+        # level 0 in place: each row holds the pair (left at lanes [0, 64),
+        # right at [64, 128)); the right window rolls onto the left's lanes
+        # and shifts by the left's exact bit length.  Rolled-in garbage
+        # (the left window wrapping around) lands at lanes >= 64 + o and is
+        # masked; real right-window content always stays below that.
+        R, W = arr.shape                   # W == 128
+        o = o_refs[0][0][:R]               # [R, 1] i32 word shift
+        sh = sh_refs[0][0][:R].astype(u32)  # [R, 1] bit shift
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+        rolled = pltpu.roll(arr, 64, axis=1)   # rolled[j] = arr[(j+64)%128]
+        prev = jnp.pad(rolled, ((0, 0), (1, 0)))[:, :W]
+        rb = (rolled >> sh) | jnp.where(
+            sh == 0, u32(0), prev << ((u32(32) - sh) & u32(31)))
+        b = 0
+        while (1 << b) <= local_words - 1:
+            s = 1 << b
+            shifted = jnp.pad(rb, ((0, 0), (s, 0)))[:, :W]
+            rb = jnp.where(((o >> b) & 1) != 0, shifted, rb)
+            b += 1
+        rb = jnp.where(lane < o + 64, rb, u32(0))
+        arr = jnp.where(lane < 64, arr, u32(0)) + rb
+        lvl0 = 1
+
+    for i in range(levels - lvl0):
         R, W = arr.shape
         y = arr.reshape(R // 2, 2 * W)     # free relayout (W % 128 == 0)
         l_win = y[:, :W]
         r_win = y[:, W:]
-        o = o_refs[lvl][0][:R // 2]        # [R/2, 1] i32 word shift
-        sh = sh_refs[lvl][0][:R // 2].astype(u32)  # [R/2, 1] bit shift
+        o = o_refs[lvl0 + i][0][:R // 2]        # [R/2, 1] i32 word shift
+        sh = sh_refs[lvl0 + i][0][:R // 2].astype(u32)  # [R/2, 1] bit shift
 
-        W_new = 2 * W
-        rb = jnp.pad(r_win, ((0, 0), (0, W)))
+        W_new = caps[i]                    # node-worst cap, >= W
+        rb = jnp.pad(r_win, ((0, 0), (0, W_new - W)))
         prev = jnp.pad(rb, ((0, 0), (1, 0)))[:, :W_new]
         rb = (rb >> sh) | jnp.where(
             sh == 0, u32(0), prev << ((u32(32) - sh) & u32(31)))
 
-        max_o = min(W_new, (1 << lvl) * (local_words - 1))
+        blocks_left = (1 << (i + 1)) if prepack else (1 << i)
+        max_o = min(W_new, blocks_left * (local_words - 1))
         b = 0
         while (1 << b) <= max_o:
             s = 1 << b
@@ -71,7 +125,7 @@ def _merge_tile_kernel(*refs, levels, local_words, GWout):
             rb = jnp.where(bit, shifted, rb)
             b += 1
 
-        arr = jnp.pad(l_win, ((0, 0), (0, W))) + rb
+        arr = jnp.pad(l_win, ((0, 0), (0, W_new - W))) + rb
 
     gwin_ref[:] = arr[:, :GWout]
 
@@ -80,24 +134,30 @@ def _merge_tile_kernel(*refs, levels, local_words, GWout):
 def _build_merge_call(NB, W0, local_words, group, interpret):
     levels = group.bit_length() - 1
     assert (1 << levels) == group
-    W0pad = _round128(W0)
+    prepack = W0 <= 64 and levels >= 1
+    W0pad = 128 if prepack else _round128(W0)
     # exact worst-case group window: group * (local_words words of payload)
     # + front pad word + slack, rounded to a lane multiple
     GWout = group_window_words(local_words, group)
+    caps = _level_caps(local_words, group, prepack)
+    assert not caps or caps[-1] == GWout
     # >= 8 groups per tile keeps the output block sublane-divisible; the
     # wrapper pads NB up to a whole number of tiles with empty windows
     groups_per_tile = max(8, 512 // group)
     Rt = groups_per_tile * group
     assert NB % Rt == 0
     n_tiles = NB // Rt
+    rows_t = Rt // 2 if prepack else Rt
 
     kern = functools.partial(_merge_tile_kernel, levels=levels,
-                             local_words=local_words, GWout=GWout)
-    in_specs = [pl.BlockSpec((Rt, W0pad), lambda i: (i, 0),
+                             local_words=local_words, GWout=GWout,
+                             prepack=prepack, caps=caps)
+    in_specs = [pl.BlockSpec((rows_t, W0pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)]
     # per-level shift arrays ride as [n_tiles, rt_pad, 1] so the
     # constrained last-two block dims are (rt_pad >= 8, 1); o arrays for
-    # all levels first, then sh arrays
+    # all levels first, then sh arrays.  Level l always merges nodes of
+    # 2^l blocks, so the per-tile length is Rt >> (l+1) in both layouts.
     for lvl in list(range(levels)) * 2:
         rt = max(Rt >> (lvl + 1), 8)
         in_specs.append(pl.BlockSpec((1, rt, 1), lambda i: (i, 0, 0),
@@ -112,7 +172,7 @@ def _build_merge_call(NB, W0, local_words, group, interpret):
         out_shape=jax.ShapeDtypeStruct((NB // group, GWout), jnp.uint32),
         interpret=interpret,
     )
-    return call, W0pad, levels, n_tiles
+    return call, W0pad, prepack, levels, n_tiles
 
 
 def merge_to_groups_pallas(win, block_bits, local_words, group,
@@ -127,9 +187,12 @@ def merge_to_groups_pallas(win, block_bits, local_words, group,
         win = jnp.pad(win, ((0, NBp - NB), (0, 0)))
         block_bits = jnp.pad(block_bits, (0, NBp - NB))
         NB = NBp
-    call, W0pad, levels, n_tiles = _build_merge_call(NB, W0, local_words,
-                                                     group, interpret)
-    win = jnp.pad(win, ((0, 0), (0, W0pad - W0)))
+    call, W0pad, prepack, levels, n_tiles = _build_merge_call(
+        NB, W0, local_words, group, interpret)
+    if prepack:
+        win = jnp.pad(win, ((0, 0), (0, 64 - W0))).reshape(NB // 2, 128)
+    else:
+        win = jnp.pad(win, ((0, 0), (0, W0pad - W0)))
 
     # per-level left-sibling lengths: at level l, pair g merges nodes of
     # 2^l blocks; the left node's bit length is the sum of its block_bits

@@ -44,14 +44,24 @@ def sync(r):
     return r
 
 
+def _run_n(fn, args, n):
+    t0 = time.perf_counter()
+    r = None
+    for _ in range(n):
+        r = fn(*args)
+    sync(r)
+    return time.perf_counter() - t0
+
+
 def timeit(name, fn, *args):
-    r = sync(fn(*args))
+    """Slope timing: the axon tunnel costs ~70-100 ms per host sync, so
+    time N vs 3N queued dispatches with one sync each and use the slope."""
+    r = sync(fn(*args))  # warm-up / compile
     best = float("inf")
     for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(N):
-            r = sync(fn(*args))
-        best = min(best, (time.perf_counter() - t0) / N)
+        t1 = _run_n(fn, args, N)
+        t3 = _run_n(fn, args, 3 * N)
+        best = min(best, (t3 - t1) / (2 * N))
     print(f"{name:34s} {best*1e3:8.2f} ms   {MIB/best:8.1f} MiB/s",
           flush=True)
     return r
