@@ -82,6 +82,7 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_size_t),       # n_rsis_out
                 ctypes.POINTER(ctypes.c_uint64),       # tail_bit_out
                 ctypes.c_uint, ctypes.c_uint, ctypes.c_uint, ctypes.c_uint,
+                ctypes.c_int,                          # n_threads
             ]
             _lib = lib
         except Exception:
@@ -158,14 +159,17 @@ def scan_rsis(data, start_bit: int, max_rsis: int, cfg):
     return n_rsis.value, end_bit.value
 
 
-def scan_blocks(data, max_rsis: int, max_fs_bits: int, cfg, wf=0):
+def scan_blocks(data, max_rsis: int, max_fs_bits: int, cfg, wf=0,
+                threads=None):
     """Phase-1 structural scan for the device decoder.
 
     Walks the stream once (popcount-bulk FS skipping, no sample
     reconstruction) and emits one payload record per output block for every
     complete RSI whose FS regions fit the device kernel's static window.
     With wf > 0 it also materialises each block's wf-word payload window
-    ("win", u32 [n, wf]) so the device never gathers from the raw stream.
+    ("win", u32 [n, wf]) so the device never gathers from the raw stream;
+    the window memcpys run on `threads-1` worker threads chasing the scan
+    (the walk itself is inherently serial).
 
     Returns (records dict of numpy arrays sized n_rsis*rsi, n_rsis,
     tail_bit) or None if the native library is unavailable.  The serial
@@ -176,6 +180,9 @@ def scan_blocks(data, max_rsis: int, max_fs_bits: int, cfg, wf=0):
         return None
     import numpy as np
 
+    if threads is None:
+        threads = min(os.cpu_count() or 1, 8) \
+            if wf and len(data) >= (1 << 20) else 1
     nrec = max(max_rsis * cfg.rsi, 1)
     fs_off = np.empty(nrec, np.uint64)
     lsb_off = np.empty(nrec, np.uint64)
@@ -196,6 +203,7 @@ def scan_blocks(data, max_rsis: int, max_fs_bits: int, cfg, wf=0):
         win.ctypes.data_as(ctypes.c_void_p) if wf else None, wf,
         ctypes.byref(n_rsis), ctypes.byref(tail_bit),
         cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
+        threads,
     )
     if status != 0:
         return None

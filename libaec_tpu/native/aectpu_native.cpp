@@ -61,25 +61,84 @@ struct Params {
     bool pp() const { return flags & FLAG_PREPROCESS; }
 };
 
-// Owns a zero-padded copy of the input so 64-bit window loads -- and the
-// device decoder's per-block payload windows (up to 66 u32 words past a
-// payload start) -- can run past the logical end; shared read-only by all
+// Zero-copy view of the input stream.  Bit cursors do raw 8-byte window
+// loads on the caller's buffer; the rare loads whose span would run past
+// the logical end are served from a small zero-padded tail copy instead,
+// so no full-input copy is ever made (copying a multi-MB stream costs more
+// than the entire structural walk).  Reads past the end observe zero bits,
+// matching the reference's exhaustion behaviour.  Shared read-only by all
 // cursors (incl. worker threads).
-struct PaddedInput {
-    PaddedInput(const uint8_t* data, size_t len) : nbits(8 * len) {
-        buf.resize(len + 288, 0);
-        if (len) std::memcpy(buf.data(), data, len);
+struct InputView {
+    InputView(const uint8_t* data, size_t len)
+        : nbits(8 * len), data_(data), len_(len) {
+        std::memset(tail_, 0, sizeof(tail_));
+        size_t keep = len < 8 ? len : 8;
+        if (keep) std::memcpy(tail_, data + len - keep, keep);
+        tail_start_ = len - keep;
     }
-    std::vector<uint8_t> buf;
+
     size_t nbits;
+    size_t len() const { return len_; }
+
+    // Big-endian 64-bit load of bytes [p, p+8).  Callers keep p within
+    // len_ + 8 (cursor positions never exceed the stream end by more than
+    // one refill), which the 32-byte tail buffer covers.
+    uint64_t load64_be(size_t p) const {
+        uint64_t w;
+        if (p + 8 <= len_)
+            std::memcpy(&w, data_ + p, 8);
+        else
+            std::memcpy(&w, tail_ + (p - tail_start_), 8);
+#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+        w = __builtin_bswap64(w);
+#endif
+        return w;
+    }
+
+    // Stream words [byte_off, byte_off + 4*nw) as native-order values of
+    // the big-endian words; words past the end read as zero.
+    void copy_words_be(size_t byte_off, uint32_t* dst, int nw) const {
+        if (byte_off + 4 * (size_t)nw <= len_) {
+            for (int w = 0; w < nw; w++) {
+                uint32_t v;
+                std::memcpy(&v, data_ + byte_off + 4 * (size_t)w, 4);
+#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+                v = __builtin_bswap32(v);
+#endif
+                dst[w] = v;
+            }
+            return;
+        }
+        for (int w = 0; w < nw; w++) {
+            size_t p = byte_off + 4 * (size_t)w;
+            uint32_t v = 0;
+            if (p + 4 <= len_) {
+                std::memcpy(&v, data_ + p, 4);
+            } else if (p < len_) {
+                uint8_t tmp[4] = {0, 0, 0, 0};
+                std::memcpy(tmp, data_ + p, len_ - p);
+                std::memcpy(&v, tmp, 4);
+            }
+#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+            v = __builtin_bswap32(v);
+#endif
+            dst[w] = v;
+        }
+    }
+
+  private:
+    const uint8_t* data_;
+    size_t len_;
+    size_t tail_start_;
+    uint8_t tail_[32];
 };
 
-// MSB-first bit cursor over a PaddedInput view; logical exhaustion is
+// MSB-first bit cursor over an InputView; logical exhaustion is
 // checked against nbits explicitly.
 class BitCursor {
   public:
-    BitCursor(const PaddedInput& in, size_t start_bit = 0)
-        : buf_(in.buf.data()), nbits_(in.nbits), pos_(start_bit) {}
+    BitCursor(const InputView& in, size_t start_bit = 0)
+        : in_(in), nbits_(in.nbits), pos_(start_bit) {}
 
     size_t pos() const { return pos_; }
     void seek(size_t p) { pos_ = p; }
@@ -87,12 +146,7 @@ class BitCursor {
     bool has(size_t n) const { return pos_ + n <= nbits_; }
 
     uint64_t window() const {  // 64 bits MSB-aligned at the cursor
-        uint64_t w;
-        std::memcpy(&w, buf_ + (pos_ >> 3), 8);
-#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
-        w = __builtin_bswap64(w);
-#endif
-        return w << (pos_ & 7);
+        return in_.load64_be(pos_ >> 3) << (pos_ & 7);
     }
 
     uint32_t get(int n) {  // caller must ensure has(n); n in [0, 32]
@@ -163,7 +217,7 @@ class BitCursor {
     }
 
   private:
-    const uint8_t* buf_;
+    const InputView& in_;
     size_t nbits_;
     size_t pos_;
 };
@@ -174,8 +228,8 @@ class BitCursor {
 // and everything below is zero, so clz directly yields FS run lengths.
 class RegBitCursor {
   public:
-    RegBitCursor(const PaddedInput& in, size_t start_bit = 0)
-        : buf_(in.buf.data()), nbits_(in.nbits) {
+    RegBitCursor(const InputView& in, size_t start_bit = 0)
+        : in_(in), nbits_(in.nbits) {
         seek(start_bit);
     }
 
@@ -230,18 +284,14 @@ class RegBitCursor {
     void refill() {
         int nbytes = (63 - navail_) >> 3;
         if (nbytes == 0) return;
-        uint64_t w;
-        std::memcpy(&w, buf_ + bytepos_, 8);
-#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
-        w = __builtin_bswap64(w);
-#endif
+        uint64_t w = in_.load64_be(bytepos_);
         int nb = nbytes << 3;
         acc_ |= (w & (~0ull << (64 - nb))) >> navail_;
         navail_ += nb;
         bytepos_ += (size_t)nbytes;
     }
 
-    const uint8_t* buf_;
+    const InputView& in_;
     size_t nbits_;
     size_t bytepos_ = 0;
     uint64_t acc_ = 0;
@@ -443,7 +493,7 @@ struct BlockRecSink {
                            // payload's word): shipping these instead of the
                            // raw stream removes the device-side gather
     int wf = 0;
-    const uint8_t* stream = nullptr;  // PaddedInput bytes (over-padded)
+    const InputView* stream = nullptr;
     size_t n = 0;
 
     void push(uint64_t fso, uint64_t lsbo, uint32_t kind, uint32_t k,
@@ -452,21 +502,22 @@ struct BlockRecSink {
         lsb_off[n] = lsbo;
         meta[n] = kind | (k << 2) | (ref << 7);
         ref_sample[n] = refs;
-        if (win && kind != KIND_ZERO) {  // zero blocks never read their win
-            const uint8_t* src = stream + ((fso >> 5) << 2);
-            uint32_t* dst = win + (size_t)wf * n;
-            for (int w = 0; w < wf; w++) {
-                uint32_t v;
-                std::memcpy(&v, src + 4 * w, 4);
-#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
-                v = __builtin_bswap32(v);
-#endif
-                dst[w] = v;
-            }
-        }
+        if (win && kind != KIND_ZERO)  // zero blocks never read their win
+            stream->copy_words_be((fso >> 5) << 2, win + (size_t)wf * n, wf);
         n++;
     }
 };
+
+// Deferred window materialisation: fill records [lo, hi) from the stream.
+// Pure memcpy+bswap work, so it runs on worker threads behind the scan.
+static void fill_windows(const InputView& in, const uint64_t* fs_off,
+                         const uint32_t* meta, uint32_t* win, int wf,
+                         size_t lo, size_t hi) {
+    for (size_t i = lo; i < hi; i++) {
+        if ((meta[i] & 3u) == KIND_ZERO) continue;
+        in.copy_words_be((fs_off[i] >> 5) << 2, win + (size_t)wf * i, wf);
+    }
+}
 
 // Walk one RSI's structure, advancing the cursor past it.  Emits exactly
 // p.rsi records into *rec when rec != nullptr.  max_fs_bits > 0 additionally
@@ -568,7 +619,7 @@ static bool scan_one_rsi(BitCursor& bits, const Params& p, BlockRecSink* rec,
 // uint32 mapped deltas -- phase-1 output for the TPU payload decoder
 // (libaec_tpu/decode.py), which runs the inverse predictor as a lane-
 // parallel scan across RSIs.
-static int decode_core(const PaddedInput& input, uint64_t start_bit,
+static int decode_core(const InputView& input, uint64_t start_bit,
                        uint8_t* out, size_t out_cap, size_t* out_written,
                        const Params& p, bool emit_deltas = false) {
     const int id_len = p.id_len();
@@ -748,7 +799,7 @@ int aectpu_decode_deltas(const uint8_t* in, size_t in_len, uint8_t* out,
                          unsigned rsi, unsigned flags) {
     Params p{bits_per_sample, block_size, rsi, flags};
     if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
-    PaddedInput input(in, in_len);
+    InputView input(in, in_len);
     return decode_core(input, 0, out, out_cap, out_written, p, true);
 }
 
@@ -761,7 +812,7 @@ int aectpu_decode_tail(const uint8_t* in, size_t in_len, uint64_t start_bit,
                        unsigned rsi, unsigned flags) {
     Params p{bits_per_sample, block_size, rsi, flags};
     if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
-    PaddedInput input(in, in_len);
+    InputView input(in, in_len);
     return decode_core(input, start_bit, out, out_cap, out_written, p);
 }
 
@@ -771,7 +822,7 @@ int aectpu_decode(const uint8_t* in, size_t in_len, uint8_t* out,
                   unsigned flags) {
     Params p{bits_per_sample, block_size, rsi, flags};
     if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
-    PaddedInput input(in, in_len);
+    InputView input(in, in_len);
     return decode_core(input, 0, out, out_cap, out_written, p);
 }
 
@@ -790,7 +841,7 @@ int aectpu_decode_parallel(const uint8_t* in, size_t in_len,
     if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
     const size_t S = (size_t)rsi * block_size;
     const size_t rsi_bytes = S * (size_t)p.bytes_per_sample();
-    PaddedInput input(in, in_len);
+    InputView input(in, in_len);
 
     const size_t cap_rsis = out_cap / rsi_bytes;
     if (n_threads < 1) n_threads = 1;
@@ -860,7 +911,7 @@ int aectpu_scan_rsis(const uint8_t* in, size_t in_len, uint64_t start_bit,
                      unsigned block_size, unsigned rsi, unsigned flags) {
     Params p{bits_per_sample, block_size, rsi, flags};
     if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
-    PaddedInput input(in, in_len);
+    InputView input(in, in_len);
     BitCursor bits(input, start_bit);
     size_t n_rsis = 0;
     while (n_rsis < max_rsis) {
@@ -888,14 +939,47 @@ int aectpu_scan_blocks(const uint8_t* in, size_t in_len, size_t max_rsis,
                        uint32_t* meta, uint32_t* ref_sample, uint32_t* win,
                        int wf, size_t* n_rsis_out, uint64_t* tail_bit_out,
                        unsigned bits_per_sample, unsigned block_size,
-                       unsigned rsi, unsigned flags) {
+                       unsigned rsi, unsigned flags, int n_threads) {
     Params p{bits_per_sample, block_size, rsi, flags};
     if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
-    if (wf > 66) return AEC_CONF_ERROR;  // PaddedInput's over-pad bound
-    PaddedInput input(in, in_len);
+    if (wf > 66) return AEC_CONF_ERROR;  // worst conforming payload bound
+    InputView input(in, in_len);
     BitCursor bits(input, 0);
-    BlockRecSink rec{fs_off, lsb_off, meta, ref_sample, win, wf,
-                     input.buf.data()};
+    const bool deferred = win && n_threads > 1;
+    BlockRecSink rec{fs_off, lsb_off, meta, ref_sample,
+                     deferred ? nullptr : win, wf, &input};
+
+    // With n_threads > 1 the window memcpys (the other ~third of scan time)
+    // run on worker threads chasing the scan: records [0, published) are
+    // final once published, so fillers CAS-claim bounded ranges behind it.
+    std::atomic<size_t> published{0};
+    std::atomic<size_t> fill_next{0};
+    std::atomic<bool> scan_done{false};
+    constexpr size_t GRAIN = 2048;
+
+    auto filler = [&]() {
+        for (;;) {
+            size_t avail = published.load(std::memory_order_acquire);
+            size_t lo = fill_next.load(std::memory_order_relaxed);
+            if (lo >= avail) {
+                if (scan_done.load(std::memory_order_acquire) &&
+                    lo >= published.load(std::memory_order_acquire))
+                    return;
+                std::this_thread::yield();
+                continue;
+            }
+            size_t want = avail - lo < GRAIN ? avail - lo : GRAIN;
+            if (!fill_next.compare_exchange_weak(
+                    lo, lo + want, std::memory_order_relaxed))
+                continue;
+            fill_windows(input, fs_off, meta, win, wf, lo, lo + want);
+        }
+    };
+
+    std::vector<std::thread> threads;
+    if (deferred)
+        for (int t = 0; t < n_threads - 1; t++) threads.emplace_back(filler);
+
     size_t n_rsis = 0;
     while (n_rsis < max_rsis) {
         uint64_t rsi_start = bits.pos();
@@ -907,6 +991,13 @@ int aectpu_scan_blocks(const uint8_t* in, size_t in_len, size_t max_rsis,
             break;
         }
         n_rsis++;
+        if (deferred)
+            published.store(rec.n, std::memory_order_release);
+    }
+    if (deferred) {
+        scan_done.store(true, std::memory_order_release);
+        filler();  // the scan thread joins the fill pool to drain
+        for (auto& t : threads) t.join();
     }
     *n_rsis_out = n_rsis;
     *tail_bit_out = bits.pos();
