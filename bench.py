@@ -9,8 +9,11 @@ core): encode 317 MiB/s, decode 202 MiB/s.
 
 Reported numbers (all in the ONE JSON line):
   value / encode_kernel   device-side sustained encode: chunks resident on
-                          device, k/bit carries chained as device scalars,
-                          one fetch of the bit counts at the end.
+                          device, k/bit carries chained as device scalars
+                          inside one jitted fori_loop; timed by the slope
+                          between an n- and a 3n-chunk loop so the axon
+                          tunnel's ~30-60 ms dispatch+sync constant cancels
+                          (see _slope_time).
   encode_e2e              encode_buffer() wall time including input staging
                           and compressed-byte materialisation.
   decode_device           device-side sustained decode (phase-2 kernels;
@@ -59,8 +62,33 @@ def load_typical():
     return out
 
 
+def _slope_time(make_loop, n):
+    """Per-iteration device time of a jitted n/3n-iteration loop.
+
+    Two loop programs (n and 3n iterations) are each dispatched once and
+    synced by fetching their scalar result; the slope (t3n - tn) / 2n
+    cancels the constant dispatch+sync cost, which through the axon tunnel
+    is ~30-60 ms and would otherwise dominate.  (jax.block_until_ready is
+    NOT a sync on axon arrays -- it returns immediately; only a fetch
+    blocks.)"""
+    loop_n, loop_3n = make_loop(n), make_loop(3 * n)
+    np.asarray(loop_n())  # compile + warm
+    np.asarray(loop_3n())
+    best = float("inf")
+    for _rep in range(3):
+        t0 = time.time()
+        np.asarray(loop_n())
+        t1 = time.time()
+        np.asarray(loop_3n())
+        best = min(best, (time.time() - t1) - (t1 - t0))
+    return best / (2 * n)
+
+
 def bench_encode_kernel(chunk_u32, n_chunks, expect):
-    """Device-side sustained encode; returns (MiB/s, one chunk's bytes)."""
+    """Device-sustained encode (MiB/s, one chunk's bytes): the chunk fn
+    runs inside one jitted fori_loop threading the real inter-chunk
+    carries (k, bit cursor mod 8; encode.c:369 semantics), so the number
+    is pure back-to-back device throughput."""
     import jax
     import jax.numpy as jnp
 
@@ -68,30 +96,30 @@ def bench_encode_kernel(chunk_u32, n_chunks, expect):
 
     fn = _jax_chunk_fn(CFG, CHUNK_RSIS, CFG.rsi)
     xd = jax.device_put(chunk_u32)
-    xd.block_until_ready()
     words, total_bits, _ = fn(xd, 0, 0)  # warm-up / compile
     tb0 = int(total_bits)
     got = words_to_stream_bytes(words, tb0).tobytes()
     assert got == expect, "device chunk output mismatch"
 
-    def run(n):
-        k = jnp.int32(0)
-        b0 = jnp.uint32(0)
-        outs = []
-        for _ in range(n):
-            words, total_bits, k = fn(xd, k, b0)
-            b0 = total_bits % jnp.uint32(8)
-            outs.append(total_bits)
-        return jnp.stack(outs)
+    def make_loop(n):
+        @jax.jit
+        def loop():
+            def body(i, carry):
+                k, b0, acc = carry
+                words, total_bits, k = fn(xd, k, b0)
+                # consume the outputs so no iteration is dead code
+                return (k, total_bits % jnp.uint32(8),
+                        acc + total_bits + words[-1])
 
-    _ = np.asarray(run(2))  # warm the pipeline
+            return jax.lax.fori_loop(
+                0, n, body,
+                (jnp.int32(0), jnp.uint32(0), jnp.uint32(0)))[2]
+
+        return loop
+
+    per_chunk = _slope_time(make_loop, n_chunks)
     chunk_bytes = chunk_u32.size * 2
-    elapsed = float("inf")
-    for _rep in range(3):
-        t0 = time.time()
-        np.asarray(run(n_chunks))  # one device->host fetch
-        elapsed = min(elapsed, time.time() - t0)
-    return n_chunks * chunk_bytes / (1 << 20) / elapsed, got
+    return chunk_bytes / (1 << 20) / per_chunk, got
 
 
 def bench_encode_e2e(raw):
@@ -107,18 +135,22 @@ def bench_encode_e2e(raw):
 
 
 def bench_decode_device(comp, raw):
-    """Phase-2 sustained throughput: records staged once, pipelined."""
+    """Phase-2 device-sustained throughput (records staged once, the
+    decode fn looped inside one jit) plus the host scan's throughput."""
     import jax
+    import jax.numpy as jnp
 
     from libaec_tpu.decode import _jax_decode_fn, scan_record_arrays
     from libaec_tpu.ops import bitunpack
 
     n_rsis = len(raw) // CFG.rsi_len_bytes
-    t0 = time.time()
-    recs, n_ok, _ = native.scan_blocks(comp, n_rsis,
-                                       bitunpack.max_fs_bits(CFG), CFG,
-                                       wf=bitunpack.window_words(CFG))
-    t_scan = time.time() - t0
+    t_scan = float("inf")
+    for _rep in range(3):
+        t0 = time.time()
+        recs, n_ok, _ = native.scan_blocks(comp, n_rsis,
+                                           bitunpack.max_fs_bits(CFG), CFG,
+                                           wf=bitunpack.window_words(CFG))
+        t_scan = min(t_scan, time.time() - t0)
     assert n_ok == n_rsis
     arrs = [jax.device_put(a) for a in scan_record_arrays(recs)]
     fn = _jax_decode_fn(CFG, n_rsis)
@@ -126,15 +158,20 @@ def bench_decode_device(comp, raw):
     got = np.asarray(out).view(np.uint8)[: len(raw)].tobytes()
     assert got == raw, "device decode mismatch"
 
-    n_iter = 8
-    best = float("inf")
-    for _rep in range(3):
-        t0 = time.time()
-        outs = [fn(*arrs) for _ in range(n_iter)]
-        np.asarray(outs[-1].ravel()[:1])  # tunnel-safe sync
-        best = min(best, (time.time() - t0) / n_iter)
+    def make_loop(n):
+        @jax.jit
+        def loop():
+            def body(i, acc):
+                o = fn(*arrs).ravel()
+                return acc + o[0] + o[-1]
+
+            return jax.lax.fori_loop(0, n, body, jnp.uint32(0))
+
+        return loop
+
+    per_iter = _slope_time(make_loop, 8)
     mib = len(raw) / (1 << 20)
-    return mib / best, mib / t_scan
+    return mib / per_iter, mib / t_scan
 
 
 def main():
