@@ -89,7 +89,7 @@ def encode_tile_kernel(
     win_ref, bbits_ref, kfin_ref,
     # scratch
     kcarry,
-    *, cfg, nbT, K_dom, W0,
+    *, cfg, nbT, K_dom, W0, Wout,
 ):
     u32, i32 = jnp.uint32, jnp.int32
     bs = cfg.block_size
@@ -352,6 +352,11 @@ def encode_tile_kernel(
             acc += _sum_u32(jnp.where(i1 == wv, c1, u32(0)))
             acc += _sum_u32(jnp.where(i2 == wv, c2, u32(0)))
         rows.append(acc)
+    if Wout > W0:
+        # zero-pad to the merge kernel's pair-pre-pack width (64) here, so
+        # the XLA pad pass between the kernels disappears: [NB, 64] reshapes
+        # for free into the [NB/2, 128] paired rows merge_pallas consumes
+        rows.append(jnp.zeros((Wout - W0, nbT), u32))
     # write block-major windows (what the merge kernel consumes) directly:
     # one VMEM transpose instead of an XLA one through HBM
     win_ref[:] = jnp.concatenate(rows, axis=0).T
@@ -398,9 +403,12 @@ def _build_call(cfg, n_rsi, interpret):
     worst = worst_case_bits_per_block(cfg)
     local_words = (worst + 31) // 32 + 1
     W0 = local_words + 1
+    # pad the output windows to the merge kernel's pair-pre-pack width when
+    # it applies (merge_pallas prepack: W0 <= 64), saving the XLA pad pass
+    Wout = 64 if W0 <= 64 else W0
 
     kern = functools.partial(encode_tile_kernel, cfg=cfg, nbT=nbT,
-                             K_dom=K_dom, W0=W0)
+                             K_dom=K_dom, W0=W0, Wout=Wout)
     call = pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -411,7 +419,7 @@ def _build_call(cfg, n_rsi, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((nbT, W0), lambda i: (i, 0),
+            pl.BlockSpec((nbT, Wout), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nbT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -419,7 +427,7 @@ def _build_call(cfg, n_rsi, interpret):
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NB, W0), jnp.uint32),
+            jax.ShapeDtypeStruct((NB, Wout), jnp.uint32),
             jax.ShapeDtypeStruct((1, NB), jnp.uint32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
@@ -432,8 +440,9 @@ def _build_call(cfg, n_rsi, interpret):
 
 
 def encode_chunk_fields_pallas(cfg, x, k_init, interpret=False):
-    """x: u32 [n_rsi, S] -> (win u32 [NB, W0], block_bits u32 [NB],
-    k_final i32 scalar).  Jit-traceable."""
+    """x: u32 [n_rsi, S] -> (win u32 [NB, Wout], block_bits u32 [NB],
+    k_final i32 scalar); Wout is 64 (pair-pre-pack width, zero-padded
+    beyond the W0 payload words) when W0 <= 64, else W0.  Jit-traceable."""
     n_rsi = x.shape[0]
     NB = n_rsi * cfg.rsi
     call, W0, local_words = _build_call(cfg, n_rsi, interpret)

@@ -107,23 +107,37 @@ def _merge_tile_kernel(*refs, levels, local_words, GWout, prepack, caps):
         sh = sh_refs[lvl0 + i][0][:R // 2].astype(u32)  # [R/2, 1] bit shift
 
         W_new = caps[i]                    # node-worst cap, >= W
-        rb = jnp.pad(r_win, ((0, 0), (0, W_new - W)))
-        prev = jnp.pad(rb, ((0, 0), (1, 0)))[:, :W_new]
+        # the right node's content is at most its own (smaller) cap wide;
+        # funnel-shift at width min(W+1, W_new) and let the width grow with
+        # the word shifts instead of paying W_new on every pass -- the
+        # early (small) steps then run at roughly half the final width.
+        # Truncation to W_new is safe: right content + funnel spill fits
+        # the right node's cap + 1 <= W_new.
+        rbW = min(W + 1, W_new)
+        rb = jnp.pad(r_win, ((0, 0), (0, 1)))[:, :rbW]
+        prev = jnp.pad(r_win, ((0, 0), (1, 0)))[:, :rbW]
         rb = (rb >> sh) | jnp.where(
             sh == 0, u32(0), prev << ((u32(32) - sh) & u32(31)))
+        curW = rbW
 
         blocks_left = (1 << (i + 1)) if prepack else (1 << i)
         max_o = min(W_new, blocks_left * (local_words - 1))
         b = 0
         while (1 << b) <= max_o:
             s = 1 << b
-            if s >= W_new:
+            newW = min(W_new, curW + s)
+            if newW > curW:
+                rb = jnp.pad(rb, ((0, 0), (0, newW - curW)))
+            if s >= newW:
                 shifted = jnp.zeros_like(rb)
             else:
-                shifted = jnp.pad(rb, ((0, 0), (s, 0)))[:, :W_new]
+                shifted = jnp.pad(rb, ((0, 0), (s, 0)))[:, :newW]
             bit = ((o >> b) & 1) != 0
             rb = jnp.where(bit, shifted, rb)
+            curW = newW
             b += 1
+        if curW < W_new:
+            rb = jnp.pad(rb, ((0, 0), (0, W_new - curW)))
 
         arr = jnp.pad(l_win, ((0, 0), (0, W_new - W))) + rb
 

@@ -928,13 +928,17 @@ int aectpu_scan_rsis(const uint8_t* in, size_t in_len, uint64_t start_bit,
     return AEC_OK;
 }
 
-// Phase-1 of the device (TPU) decode: walk the stream and emit one payload
-// record per output block for every complete, device-decodable RSI.  The
-// caller provides arrays of max_rsis * rsi records; *n_rsis_out receives the
+// Phase-1 of the device (TPU) decode: walk the stream from start_bit (an
+// RSI boundary; 0 for the stream head) and emit one payload record per
+// output block for every complete, device-decodable RSI.  The caller
+// provides arrays of max_rsis * rsi records; *n_rsis_out receives the
 // number of complete RSIs recorded and *tail_bit_out the bit position where
-// the exact serial core must resume (truncated/malformed/oversized-FS tail).
+// the next call (or the exact serial core, on a truncated/malformed/
+// oversized-FS tail) must resume.  Resumability is what lets the host
+// overlap scan chunks with in-flight device decode dispatches (decode.py).
 // max_fs_bits is the device kernel's static FS window in bits.
-int aectpu_scan_blocks(const uint8_t* in, size_t in_len, size_t max_rsis,
+int aectpu_scan_blocks(const uint8_t* in, size_t in_len, uint64_t start_bit,
+                       size_t max_rsis,
                        int max_fs_bits, uint64_t* fs_off, uint64_t* lsb_off,
                        uint32_t* meta, uint32_t* ref_sample, uint32_t* win,
                        int wf, size_t* n_rsis_out, uint64_t* tail_bit_out,
@@ -944,7 +948,7 @@ int aectpu_scan_blocks(const uint8_t* in, size_t in_len, size_t max_rsis,
     if (bits_per_sample == 0 || bits_per_sample > 32) return AEC_CONF_ERROR;
     if (wf > 66) return AEC_CONF_ERROR;  // worst conforming payload bound
     InputView input(in, in_len);
-    BitCursor bits(input, 0);
+    BitCursor bits(input, start_bit);
     const bool deferred = win && n_threads > 1;
     BlockRecSink rec{fs_off, lsb_off, meta, ref_sample,
                      deferred ? nullptr : win, wf, &input};

@@ -167,6 +167,13 @@ def merge_block_windows(B, win, block_bits, bit0, local_words, nwords,
     u32 = xp.uint32
     NB = win.shape[0]
 
+    # windows may arrive wider than the payload needs (the Pallas encode
+    # kernel zero-pads to the pair-pre-pack width 64); drop the dead words
+    # so the doubling tree doesn't carry them into widths that overrun the
+    # final scan's buffer
+    if win.shape[1] > local_words + 1:
+        win = win[:, : local_words + 1]
+
     # pad block count to a multiple of `group` with empty windows
     NBp = -(-NB // group) * group
     if NBp != NB:
@@ -227,14 +234,22 @@ def merge_groups_scan(B, win, lens, bit0, nwords):
     # scanned windows when this runs inside shard_map
     buf = jnp.zeros(nwords, dtype=jnp.uint32) + (win_shifted[0, 0]
                                                  & jnp.uint32(0))
-    buf, _ = jax.lax.scan(body, buf, (win_shifted, gofs))
+    # unrolling amortises the TPU while-loop's per-iteration overhead
+    # (~4 us/step measured), which dominates this latency-bound stage.
+    # (Tried and rejected: K interleaved chains into private buffers --
+    # the extra zero-init + OR-merge traffic cost more than it hid.)
+    unroll = 8 if win_shifted.shape[0] % 8 == 0 else 1
+    buf, _ = jax.lax.scan(body, buf, (win_shifted, gofs), unroll=unroll)
     return buf, total_bits
 
 
 def merge_block_windows_pallas(B, win, block_bits, bit0, local_words,
                                nwords, group=64, interpret=False):
     """Stage B in a Pallas kernel (kernels/merge_pallas.py), stage C via the
-    XLA group scan.  Bit-identical to merge_block_windows."""
+    XLA group scan.  Bit-identical to merge_block_windows.  (A stage-C
+    kernel that DMA-placed each group window at its dynamic word offset was
+    tried and abandoned: Mosaic requires HBM DMA slices to be 1024-word
+    tile-aligned in both offset and shape.)"""
     from ..kernels.merge_pallas import merge_to_groups_pallas
 
     xp = B.xp
