@@ -130,41 +130,56 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None):
     max_samples = out_size // bsz
     want_rsis = max_samples // S
 
-    res = native.scan_blocks(data, want_rsis, bitunpack.max_fs_bits(cfg),
-                             cfg, wf=bitunpack.window_words(cfg)) \
-        if want_rsis else None
-    if res is None and want_rsis:
-        return decode_buffer_status(data, cfg, out_size)
-    recs, n_rsis, tail_bit = res if res else ({}, 0, 0)
+    if chunk_rsis is None:
+        # ~8M delta samples (32 MB u32) per device dispatch
+        chunk_rsis = max(1, (8 << 20) // S)
+    max_fs = bitunpack.max_fs_bits(cfg)
+    wf = bitunpack.window_words(cfg)
 
+    # The scan is resumable (start_bit), so it runs in device-chunk-sized
+    # slices with the device dispatch issued between slices: jax dispatch
+    # is asynchronous, so the TPU decodes chunk i while the host scans
+    # chunk i+1.  This also bounds host record memory to one chunk.
     parts = []
-    if n_rsis:
-        arrs = scan_record_arrays(recs)
+    pending = []
 
-        if chunk_rsis is None:
-            # ~8M delta samples (32 MB u32) per device dispatch
-            chunk_rsis = max(1, (8 << 20) // S)
-        pending = []
-        for start in range(0, n_rsis, chunk_rsis):
-            cnt = min(chunk_rsis, n_rsis - start)
-            # bucket the chunk shape to a power of two to bound recompiles
-            cpad = cnt if cnt == chunk_rsis else _next_pow2(cnt)
-            lo, hi = start * cfg.rsi, (start + cnt) * cfg.rsi
-            nrec = cpad * cfg.rsi
-            chunk_arrs = []
-            for a in arrs:
-                seg = a[lo:hi]
-                if len(seg) < nrec:  # pad with zero-kind (all-zero) records
-                    pad_w = ((0, nrec - len(seg)),) + ((0, 0),) * (a.ndim - 1)
-                    seg = np.pad(seg, pad_w)
-                chunk_arrs.append(seg)
-            fn = _jax_decode_fn(cfg, cpad)
-            pending.append((fn(*chunk_arrs), cnt))
-        for dev_out, cnt in pending:
-            # the fused swizzle kernel returns [n_rsi, words]; flatten
-            # before the byte slice or a padded chunk is never truncated
-            by = np.asarray(dev_out).ravel().view(np.uint8)
-            parts.append(by[: cnt * S * bsz].tobytes())
+    def drain_one():
+        dev_out, cnt = pending.pop(0)
+        # the fused swizzle kernel returns [n_rsi, words]; flatten
+        # before the byte slice or a padded chunk is never truncated
+        by = np.asarray(dev_out).ravel().view(np.uint8)
+        parts.append(by[: cnt * S * bsz].tobytes())
+
+    n_rsis = 0
+    tail_bit = 0
+    while n_rsis < want_rsis:
+        ask = min(chunk_rsis, want_rsis - n_rsis)
+        res = native.scan_blocks(data, ask, max_fs, cfg, wf=wf,
+                                 start_bit=tail_bit)
+        if res is None:  # no native library: only possible on first slice
+            return decode_buffer_status(data, cfg, out_size)
+        recs, cnt, tail_bit = res
+        if cnt == 0:
+            break
+        arrs = scan_record_arrays(recs)
+        # bucket the chunk shape to a power of two to bound recompiles
+        cpad = cnt if cnt == chunk_rsis else _next_pow2(cnt)
+        nrec = cpad * cfg.rsi
+        chunk_arrs = []
+        for a in arrs:
+            if len(a) < nrec:  # pad with zero-kind (all-zero) records
+                pad_w = ((0, nrec - len(a)),) + ((0, 0),) * (a.ndim - 1)
+                a = np.pad(a, pad_w)
+            chunk_arrs.append(a)
+        fn = _jax_decode_fn(cfg, cpad)
+        pending.append((fn(*chunk_arrs), cnt))
+        if len(pending) > 4:  # bound device residency, keep 4 in flight
+            drain_one()
+        n_rsis += cnt
+        if cnt < ask:  # truncated / malformed / oversized-FS tail
+            break
+    while pending:
+        drain_one()
 
     done_bytes = n_rsis * S * bsz
     res = native.decode_tail(data, tail_bit, out_size - done_bytes, cfg)

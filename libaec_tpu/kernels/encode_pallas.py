@@ -338,20 +338,109 @@ def encode_tile_kernel(
 
     h0 = contribs(e_h0, id_v)
     h1 = contribs(e_h1, ref_v)
-    mi = contribs(e_mid, mid_v)
-    ls = contribs(e_lsb, lsb_v)
 
-    rows = []
-    for w in range(W0):
-        wv = u32(w)
-        acc = jnp.zeros((1, nbT), u32)
-        for i1, c1, i2, c2 in (h0, h1):
-            acc += jnp.where(i1 == wv, c1, u32(0))
-            acc += jnp.where(i2 == wv, c2, u32(0))
-        for i1, c1, i2, c2 in (mi, ls):
-            acc += _sum_u32(jnp.where(i1 == wv, c1, u32(0)))
-            acc += _sum_u32(jnp.where(i2 == wv, c2, u32(0)))
-        rows.append(acc)
+    if bs & (bs - 1) == 0:
+        # == restructured pack (the measured hot spot of the kernel) =====
+        # Three contribution classes with cheap structure instead of the
+        # generic two-words-per-field compare-sum over every window word:
+        #   1. header (id + reference sample): ends within word 2;
+        #   2. FS region: split/SE/zero mid fields are unary codes -- a
+        #      single set bit at the field end -- so each row contributes
+        #      ONE word, halving the masked reduces; uncompressed payloads
+        #      leave this class entirely;
+        #   3. LSB planes and uncompressed payloads: per-block UNIFORM
+        #      kb-bit fields (kb = k or bits_per_sample), packed by a
+        #      log2(bs)-level tree over sublanes where every level's shift
+        #      amounts are per-lane elementwise values -- no per-word
+        #      compare-sums at all.
+        hdr = []
+        for w in range(3):
+            wv = u32(w)
+            acc = jnp.zeros((1, nbT), u32)
+            for i1, c1, i2, c2 in (h0, h1):
+                acc += jnp.where(i1 == wv, c1, u32(0))
+                acc += jnp.where(i2 == wv, c2, u32(0))
+            hdr.append(acc)
+
+        p = e_mid - u32(1)
+        pw = (p >> u32(5)).astype(i32)
+        cbm = jnp.where((mid_w > u32(0)) & (mid_v == u32(1)) & ~is_unc,
+                        u32(1) << (u32(31) - (p & u32(31))), u32(0))
+        rows = []
+        for w in range(W0):
+            acc = hdr[w] if w < 3 else jnp.zeros((1, nbT), u32)
+            rows.append(acc + _sum_u32(jnp.where(pw == w, cbm, u32(0))))
+        window = jnp.concatenate(rows, axis=0)           # [W0, nbT]
+
+        # uniform-width region: kb bits per field, 64 fields per block.
+        # For a ref'd split block the real fields are rows 1..bs-1; the
+        # tree packs bs fields, so values shift up one row and a phantom
+        # zero field trails the region -- kb extra zero bits that stay
+        # within the window slack and beyond block_bits, harmless to the
+        # tree merge (they add zeros).
+        kb = jnp.where(is_unc, u32(bps), jnp.where(is_split, ku, u32(0)))
+        Vt = jnp.where(is_unc, unc_v,
+                       jnp.where(ref_lane, _shift_up_subl(lsb_v, 1), lsb_v))
+        A = jnp.where(kb == u32(0), u32(0),
+                      Vt << ((u32(32) - kb) & u32(31)))  # MSB-aligned
+        # tree invariant: nodes of 2^l fields anchored every 2^l rows,
+        # content words at rows anchor..anchor+ceil(2^l*kb/32)-1, zeros
+        # elsewhere.  Each merge gathers the right sibling (one sublane
+        # shift), zeroes its garbage, funnel-shifts by the left length's
+        # sub-word bits and places it with a log-decomposed row shift.
+        for lv in range(bs.bit_length() - 1):
+            sig = 1 << lv
+            L = kb * u32(sig)                 # left-node bit length
+            o = (L >> u32(5)).astype(i32)
+            tq = L & u32(31)
+            wr = ((L + u32(31)) >> u32(5)).astype(i32)
+            t_rel = sub & (2 * sig - 1)
+            R = _shift_up_subl(A, sig)
+            R = jnp.where(t_rel < wr, R, u32(0))
+            prevR = jnp.where(t_rel == 0, u32(0), _shift_down_subl(R, 1))
+            rs = (R >> tq) | jnp.where(
+                tq == u32(0), u32(0),
+                prevR << ((u32(32) - tq) & u32(31)))
+            for b in range(lv + 1):
+                shifted = _shift_down_subl(rs, 1 << b)
+                rs = jnp.where(((o >> b) & 1) != 0, shifted, rs)
+            A = jnp.where(t_rel < sig, A, u32(0)) + rs
+
+        # place the packed region at its window bit offset
+        if W0 > bs:
+            A = jnp.concatenate([A, jnp.zeros((W0 - bs, nbT), u32)], axis=0)
+        else:
+            A = A[:W0]
+        base = jnp.where(is_unc, e_h0, mid_total)        # [1, nbT]
+        tb = base & u32(31)
+        q = (base >> u32(5)).astype(i32)
+        wrow = jax.lax.broadcasted_iota(i32, (W0, nbT), 0)
+        prevA = jnp.where(wrow == 0, u32(0), _shift_down_subl(A, 1))
+        As = (A >> tb) | jnp.where(
+            tb == u32(0), u32(0), prevA << ((u32(32) - tb) & u32(31)))
+        b = 0
+        while (1 << b) < W0:
+            shifted = _shift_down_subl(As, 1 << b)
+            As = jnp.where(((q >> b) & 1) != 0, shifted, As)
+            b += 1
+        window = window + As
+        rows = [window]
+    else:
+        # generic path (NOT_ENFORCE non-power-of-two block sizes)
+        mi = contribs(e_mid, mid_v)
+        ls = contribs(e_lsb, lsb_v)
+
+        rows = []
+        for w in range(W0):
+            wv = u32(w)
+            acc = jnp.zeros((1, nbT), u32)
+            for i1, c1, i2, c2 in (h0, h1):
+                acc += jnp.where(i1 == wv, c1, u32(0))
+                acc += jnp.where(i2 == wv, c2, u32(0))
+            for i1, c1, i2, c2 in (mi, ls):
+                acc += _sum_u32(jnp.where(i1 == wv, c1, u32(0)))
+                acc += _sum_u32(jnp.where(i2 == wv, c2, u32(0)))
+            rows.append(acc)
     if Wout > W0:
         # zero-pad to the merge kernel's pair-pre-pack width (64) here, so
         # the XLA pad pass between the kernels disappears: [NB, 64] reshapes

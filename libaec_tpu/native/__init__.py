@@ -75,6 +75,7 @@ def get_lib():
             lib.aectpu_scan_blocks.restype = ctypes.c_int
             lib.aectpu_scan_blocks.argtypes = [
                 ctypes.c_void_p, ctypes.c_size_t,      # in
+                ctypes.c_uint64,                       # start_bit
                 ctypes.c_size_t, ctypes.c_int,         # max_rsis, max_fs_bits
                 ctypes.c_void_p, ctypes.c_void_p,      # fs_off, lsb_off
                 ctypes.c_void_p, ctypes.c_void_p,      # meta, ref_sample
@@ -160,16 +161,18 @@ def scan_rsis(data, start_bit: int, max_rsis: int, cfg):
 
 
 def scan_blocks(data, max_rsis: int, max_fs_bits: int, cfg, wf=0,
-                threads=None):
+                threads=None, start_bit=0):
     """Phase-1 structural scan for the device decoder.
 
-    Walks the stream once (popcount-bulk FS skipping, no sample
-    reconstruction) and emits one payload record per output block for every
-    complete RSI whose FS regions fit the device kernel's static window.
-    With wf > 0 it also materialises each block's wf-word payload window
-    ("win", u32 [n, wf]) so the device never gathers from the raw stream;
-    the window memcpys run on `threads-1` worker threads chasing the scan
-    (the walk itself is inherently serial).
+    Walks the stream from start_bit (an RSI boundary; 0 for the head) and
+    emits one payload record per output block for every complete RSI whose
+    FS regions fit the device kernel's static window -- once (popcount-bulk
+    FS skipping, no sample reconstruction).  With wf > 0 it also
+    materialises each block's wf-word payload window ("win", u32 [n, wf])
+    so the device never gathers from the raw stream; the window memcpys
+    run on `threads-1` worker threads chasing the scan (the walk itself is
+    inherently serial).  Resumability (start_bit = previous tail_bit) lets
+    decode_buffer_tpu overlap scan chunks with in-flight device decodes.
 
     Returns (records dict of numpy arrays sized n_rsis*rsi, n_rsis,
     tail_bit) or None if the native library is unavailable.  The serial
@@ -194,7 +197,7 @@ def scan_blocks(data, max_rsis: int, max_fs_bits: int, cfg, wf=0,
     inview = np.frombuffer(data, np.uint8) if len(data) else \
         np.empty(1, np.uint8)
     status = lib.aectpu_scan_blocks(
-        inview.ctypes.data_as(ctypes.c_void_p), len(data),
+        inview.ctypes.data_as(ctypes.c_void_p), len(data), start_bit,
         max_rsis, max_fs_bits,
         fs_off.ctypes.data_as(ctypes.c_void_p),
         lsb_off.ctypes.data_as(ctypes.c_void_p),

@@ -44,36 +44,50 @@ def sync(r):
     return r
 
 
-def _run_n(fn, args, n):
-    t0 = time.perf_counter()
-    r = None
-    for _ in range(n):
-        r = fn(*args)
-    sync(r)
-    return time.perf_counter() - t0
-
-
 def timeit(name, fn, *args):
-    """Slope timing: the axon tunnel costs ~70-100 ms per host sync, so
-    time N vs 3N queued dispatches with one sync each and use the slope."""
-    r = sync(fn(*args))  # warm-up / compile
+    """In-jit loop + slope timing (see tools/prof_loop.py): fn runs N / 3N
+    times inside one fori_loop, with a scalar accumulator fed back into
+    fn's k/bit scalar argument (when it accepts one) so XLA cannot hoist
+    the body; the slope cancels the axon dispatch+sync constant."""
+    import jax.numpy as _jnp
+
+    def make(n):
+        @jax.jit
+        def run():
+            def body(i, acc):
+                r = fn(*args, dep=acc & _jnp.uint32(0))
+                leaves = [_jnp.ravel(x) for x in jax.tree.leaves(r)]
+                return acc + sum(leaf[-1].astype(_jnp.uint32)
+                                 for leaf in leaves)
+
+            return jax.lax.fori_loop(0, n, body, _jnp.uint32(0))
+
+        return run
+
+    fns = {n: make(n) for n in (N, 3 * N)}
+    for f in fns.values():
+        np.asarray(f())
     best = float("inf")
     for _ in range(3):
-        t1 = _run_n(fn, args, N)
-        t3 = _run_n(fn, args, 3 * N)
-        best = min(best, (t3 - t1) / (2 * N))
+        t0 = time.perf_counter()
+        np.asarray(fns[N]())
+        t1 = time.perf_counter()
+        np.asarray(fns[3 * N]())
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (2 * N))
     print(f"{name:34s} {best*1e3:8.2f} ms   {MIB/best:8.1f} MiB/s",
           flush=True)
-    return r
+    return fn(*args, dep=jnp.uint32(0))
 
 
 # ---- full chunk (kernel + merge + scan) --------------------------------
 fn = _jax_chunk_fn(CFG, CHUNK_RSIS, CFG.rsi)
-timeit("full chunk fn", lambda: fn(x, 0, 0))
+timeit("full chunk fn", lambda dep: fn(x, dep.astype(jnp.int32), dep))
 
 # ---- encode kernel alone ----------------------------------------------
-kf = jax.jit(lambda x: EP.encode_chunk_fields_pallas(CFG, x, 0))
-win, bbits, kfin = timeit("encode kernel", kf, x)
+win, bbits, kfin = timeit(
+    "encode kernel",
+    lambda dep: EP.encode_chunk_fields_pallas(CFG, x, dep.astype(jnp.int32)))
 
 # ---- merge + scan alone ------------------------------------------------
 worst = worst_case_bits_per_block(CFG)
@@ -85,21 +99,20 @@ from libaec_tpu.kernels import merge_pallas as MP  # noqa: E402
 B = jax_backend()
 pg_out = MP.group_window_words(local_words, pgroup) + 1
 pnwords = (NB * worst + 8) // 32 + pg_out + 2
-mf = jax.jit(lambda win, bbits: bitpack.merge_block_windows_pallas(
-    B, win, bbits, 0, local_words, pnwords, pgroup))
-timeit("merge+scan", mf, win, bbits)
+win = jax.device_put(win)
+bbits = jax.device_put(bbits)
+timeit("merge+scan", lambda dep: bitpack.merge_block_windows_pallas(
+    B, win, bbits + dep, 0, local_words, pnwords, pgroup))
 
-gf = jax.jit(lambda win, bbits: MP.merge_to_groups_pallas(
-    win, bbits, local_words, pgroup))
-gwin, glens = timeit("  merge tree only", gf, win, bbits)
+gwin, glens = timeit("  merge tree only", lambda dep: MP.merge_to_groups_pallas(
+    win, bbits + dep, local_words, pgroup))
 
 # ---- kernel variants ----------------------------------------------------
 
 
 def variant(name, **knock):
     kern_src = build_variant(**knock)
-    vf = jax.jit(lambda x: kern_src(CFG, x, 0))
-    timeit(name, vf, x)
+    timeit(name, lambda dep: kern_src(CFG, x, dep.astype(jnp.int32)))
 
 
 def build_variant(no_pack=False, no_chain=False, no_fs=False, no_se=False,
