@@ -167,6 +167,65 @@ def make_mesh_decoder(cfg, n_rsi_per_shard, mesh, axis_name="data"):
     return jax.jit(fn)
 
 
+def make_mesh_assembler(mesh, W, nwords, n_shards, axis_name="data"):
+    """On-device ordered ragged assembly of per-shard packed substreams.
+
+    Replaces assemble_host's host loop with a mesh program: each shard
+    all_gathers every shard's pre-shifted window (one collective over
+    ICI/DCN -- substreams are bit-ragged, so a fixed-bucket all_to_all
+    would still ship every boundary-straddling word; the gather keeps the
+    placement exact and simple) and then builds its own contiguous slice
+    of the final word stream with one clamped dynamic_slice per source
+    shard.  Word i of the output is owned by shard i // (nwords/n_shards),
+    so the result is evenly sharded and a host fetch is a straight
+    device-to-host copy of the content prefix.
+
+    Returns run(shifted [n_shards, W], total_bits [n_shards],
+    offsets [n_shards]) -> words u32 [nwords] (sharded on axis_name).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    Wout = -(-nwords // n_shards)
+    nwords_pad = Wout * n_shards
+
+    def shard_fn(shifted, offsets):
+        # shifted arrives [n_shards, W] (replicated via all_gather below),
+        # offsets [n_shards] u32 bit offsets
+        allw = jax.lax.all_gather(shifted[0], axis_name)   # [S, W]
+        offs = jax.lax.all_gather(offsets[0], axis_name)   # [S]
+        s = jax.lax.axis_index(axis_name)
+        out = jnp.zeros(Wout, jnp.uint32)
+        base = s * Wout
+        for g in range(n_shards):
+            ow = (offs[g] >> jnp.uint32(5)).astype(jnp.int32)
+            # pad front/back by Wout so out-of-range (no-overlap) cases
+            # read zeros; clamp explicitly -- dynamic_slice's own clamp is
+            # not defined for negative starts
+            padded = jnp.pad(allw[g], (Wout, Wout))
+            start = jnp.clip(base - ow + Wout, 0, W + Wout)
+            out = out | jax.lax.dynamic_slice(padded, (start,), (Wout,))
+        return out[None, :]
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name)),
+        out_specs=P(axis_name, None),
+        check_rep=False,
+    )
+    jfn = jax.jit(fn)
+
+    def run(shifted, total_bits, offsets):
+        del total_bits  # lengths are implicit in the next shard's offset
+        words = jfn(shifted, offsets).reshape(-1)
+        return words[:nwords] if nwords_pad != nwords else words
+
+    return run
+
+
 def assemble_host(shifted_words, total_bits, offsets):
     """Host-side ordered ragged assembly of per-shard packed substreams.
 

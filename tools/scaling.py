@@ -40,6 +40,7 @@ def main():
     from libaec_tpu.ops import accessors, bitunpack
     from libaec_tpu.parallel.dist import (
         assemble_host,
+        make_mesh_assembler,
         make_mesh_decoder,
         make_mesh_encoder,
     )
@@ -73,6 +74,20 @@ def main():
         comp = assemble_host(shifted, bits, offs)
         assert comp == encode_buffer(raw, cfg), f"N={n} stream differs"
 
+        # on-device ordered ragged assembly (all_gather over the mesh)
+        W = shifted.shape[1]
+        asm = make_mesh_assembler(mesh, W, n * W + 2, n)
+        with mesh:
+            words_dev = asm(shifted, bits, offs)  # compile + run
+            end_bits = int(np.asarray(offs)[-1]) + int(np.asarray(bits)[-1])
+            by = np.asarray(words_dev).astype(">u4").view(np.uint8)
+            assert by[4:4 + (end_bits + 7) // 8].tobytes() == comp, \
+                f"N={n} device assembly differs"
+            t_asm = min(
+                _timed(lambda: jax.block_until_ready(
+                    asm(shifted, bits, offs)))
+                for _ in range(args.iters))
+
         t_dec = None
         if native.get_lib() is not None:
             recs, n_ok, _ = native.scan_blocks(
@@ -90,6 +105,7 @@ def main():
 
         row = {"n": n, "mib": round(mib, 1),
                "encode_mib_s": round(mib / t_enc, 1),
+               "assemble_mib_s": round(mib / t_asm, 1),
                "decode_mib_s": round(mib / t_dec, 1) if t_dec else None}
         if base is None:
             base = row
