@@ -74,6 +74,27 @@ def test_tpu_payload_mem_error_parity():
     assert out_tpu == out_ref
 
 
+def test_tpu_chunked_scan_resume():
+    """decode_buffer_tpu scans in resumable slices (native scan start_bit)
+    overlapped with device dispatch; tiny chunk_rsis forces many slices,
+    power-of-two shape bucketing and a cross-slice truncated tail."""
+    cfg = Config(16, 64, 16, AEC_DATA_MSB | AEC_DATA_PREPROCESS)
+    rng = np.random.default_rng(23)
+    raw = _make_raw(rng, cfg, cfg.samples_per_rsi * 13)
+    comp = encode_buffer(raw, cfg)
+    st_ref, out_ref = decode_buffer_status(comp, cfg, len(raw))
+    for chunk_rsis in (1, 3, 4):
+        st, out = decode_buffer_tpu(comp, cfg, len(raw),
+                                    chunk_rsis=chunk_rsis)
+        assert (st, out) == (st_ref, out_ref), chunk_rsis
+    # truncation lands mid-slice: the serial tail resumes at the last
+    # complete RSI boundary of the final scan slice
+    cut = comp[: 2 * len(comp) // 3]
+    st_ref, out_ref = decode_buffer_status(cut, cfg, len(raw))
+    st, out = decode_buffer_tpu(cut, cfg, len(raw), chunk_rsis=3)
+    assert (st, out) == (st_ref, out_ref)
+
+
 def test_tpu_payload_zero_runs():
     cfg = Config(16, 64, 64, AEC_DATA_MSB | AEC_DATA_PREPROCESS)
     n = 64 * 64 * 4
