@@ -193,6 +193,103 @@ def _next_pow2(n):
     return 1 << (n - 1).bit_length() if n > 1 else 1
 
 
+def decode_buffers_tpu(datas, cfg: Config, out_sizes, scan_threads=None,
+                       chunk_rsis=None):
+    """Decode many independent AEC streams with scan/device overlap.
+
+    The dominant production deployment (HDF5 chunks, SZIP scanlines) is
+    many self-contained streams: the serial structural scan -- the
+    whole-stream decode bottleneck, ~4.7 GiB/s/core -- parallelises
+    embarrassingly ACROSS streams while the TPU decodes every stream's
+    payloads.  Scans run on a host thread pool (the native call releases
+    the GIL); the main thread drains scan results in stream order and
+    issues the asynchronous device dispatches, so the chip stays busy
+    while later streams are still being scanned.
+
+    datas: sequence of byte buffers; out_sizes: per-stream decoded sizes.
+    Returns a list of (status, bytes), each identical to
+    decode_buffer_tpu(datas[i], cfg, out_sizes[i]).
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .ops import bitunpack
+
+    datas = [bytes(d) for d in datas]
+    n = len(datas)
+    if n == 0:
+        return []
+    bsz = cfg.bytes_per_sample
+    S = cfg.samples_per_rsi
+    if chunk_rsis is None:
+        chunk_rsis = max(1, (8 << 20) // S)
+    max_fs = bitunpack.max_fs_bits(cfg)
+    wf = bitunpack.window_words(cfg)
+
+    def scan_stream(i):
+        """Full chunked scan of stream i (worker thread, no jax calls).
+        Returns (chunks, tail_bit, n_rsis): chunks = [(arrs, cnt), ...]."""
+        data = datas[i]
+        want = (out_sizes[i] // bsz) // S
+        chunks = []
+        n_rsis = 0
+        tail_bit = 0
+        while n_rsis < want:
+            ask = min(chunk_rsis, want - n_rsis)
+            res = native.scan_blocks(data, ask, max_fs, cfg, wf=wf,
+                                     start_bit=tail_bit, threads=1)
+            if res is None:
+                return None
+            recs, cnt, tail_bit = res
+            if cnt == 0:
+                break
+            chunks.append((scan_record_arrays(recs), cnt))
+            n_rsis += cnt
+            if cnt < ask:
+                break
+        return chunks, tail_bit, n_rsis
+
+    if scan_threads is None:
+        scan_threads = min(max(1, (os.cpu_count() or 2) - 1), 8, n)
+    results = [None] * n
+    with ThreadPoolExecutor(scan_threads) as pool:
+        futures = [pool.submit(scan_stream, i) for i in range(n)]
+        for i, fut in enumerate(futures):
+            res = fut.result()
+            if res is None:  # native library unavailable
+                results[i] = decode_buffer_status(datas[i], cfg,
+                                                  out_sizes[i])
+                continue
+            chunks, tail_bit, n_rsis = res
+            pending = []
+            for arrs, cnt in chunks:
+                cpad = cnt if cnt == chunk_rsis else _next_pow2(cnt)
+                nrec = cpad * cfg.rsi
+                chunk_arrs = []
+                for a in arrs:
+                    if len(a) < nrec:
+                        pad_w = ((0, nrec - len(a)),) + \
+                            ((0, 0),) * (a.ndim - 1)
+                        a = np.pad(a, pad_w)
+                    chunk_arrs.append(a)
+                fn = _jax_decode_fn(cfg, cpad)
+                pending.append((fn(*chunk_arrs), cnt))
+            parts = []
+            for dev_out, cnt in pending:
+                by = np.asarray(dev_out).ravel().view(np.uint8)
+                parts.append(by[: cnt * S * bsz].tobytes())
+            done = n_rsis * S * bsz
+            res = native.decode_tail(datas[i], tail_bit,
+                                     out_sizes[i] - done, cfg)
+            if res is None:
+                results[i] = decode_buffer_status(datas[i], cfg,
+                                                  out_sizes[i])
+                continue
+            status, tail = res
+            results[i] = (status, b"".join(parts) + tail)
+    return results
+
+
 # ---------------------------------------------------------------------------
 # numpy fallback decoder (used only when the native library cannot build)
 # ---------------------------------------------------------------------------

@@ -13,7 +13,11 @@ from libaec_tpu.constants import (
     AEC_DATA_SIGNED,
     AEC_OK,
 )
-from libaec_tpu.decode import decode_buffer_status, decode_buffer_tpu
+from libaec_tpu.decode import (
+    decode_buffer_status,
+    decode_buffer_tpu,
+    decode_buffers_tpu,
+)
 from libaec_tpu.encode import encode_buffer
 
 pytestmark = pytest.mark.skipif(native.get_lib() is None,
@@ -93,6 +97,26 @@ def test_tpu_chunked_scan_resume():
     st_ref, out_ref = decode_buffer_status(cut, cfg, len(raw))
     st, out = decode_buffer_tpu(cut, cfg, len(raw), chunk_rsis=3)
     assert (st, out) == (st_ref, out_ref)
+
+
+def test_tpu_multi_stream_batch():
+    """decode_buffers_tpu (threaded scans + shared device) must match the
+    single-stream path per stream, including a truncated and a tiny one."""
+    cfg = Config(16, 64, 16, AEC_DATA_MSB | AEC_DATA_PREPROCESS)
+    rng = np.random.default_rng(31)
+    raws, comps = [], []
+    for k, n_rsi in enumerate([5, 1, 9, 3]):
+        raw = _make_raw(rng, cfg, cfg.samples_per_rsi * n_rsi + k * 64)
+        raws.append(raw)
+        comps.append(encode_buffer(raw, cfg))
+    comps.append(comps[2][: len(comps[2]) // 2])  # truncated stream
+    raws.append(raws[2])
+    out_sizes = [len(r) for r in raws]
+    got = decode_buffers_tpu(comps, cfg, out_sizes, scan_threads=2,
+                             chunk_rsis=2)
+    for i, (comp, raw) in enumerate(zip(comps, raws)):
+        expect = decode_buffer_tpu(comp, cfg, len(raw))
+        assert got[i] == expect, f"stream {i}"
 
 
 def test_tpu_payload_zero_runs():
