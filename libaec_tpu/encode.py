@@ -155,6 +155,15 @@ def _jax_chunk_fn(cfg, n_rsi, nb):
             and _ep.kernel_supported(cfg, n_rsi)
         )
 
+        def swap32(w):
+            # big-endian materialisation on device: the host-side numpy
+            # byteswap (astype('>u4')) costs ~15 ms per 16 MiB chunk on one
+            # core, dwarfing the 2.8 ms device encode; on chip it fuses
+            # into the packer's last pass
+            u32 = jax.numpy.uint32
+            return ((w << u32(24)) | ((w & u32(0xFF00)) << u32(8))
+                    | ((w >> u32(8)) & u32(0xFF00)) | (w >> u32(24)))
+
         if use_pallas:
             # VMEM tree merge: bigger groups shorten the stage C scan
             # (group=1024 exceeds the 16M scoped-VMEM limit at tile width
@@ -168,7 +177,7 @@ def _jax_chunk_fn(cfg, n_rsi, nb):
                     cfg, x, k_init)
                 words, total_bits = bitpack.merge_block_windows_pallas(
                     B, win, bbits, bit0, local_words, pnwords, pgroup)
-                return words, total_bits, k_final
+                return swap32(words), total_bits, k_final
         else:
             def chunk(x, k_init, bit0):
                 w, v, k_final = pipeline_fields(B, cfg, x, nb, k_init)
@@ -176,7 +185,7 @@ def _jax_chunk_fn(cfg, n_rsi, nb):
                 v = v.reshape(NB, -1)
                 words, total_bits = bitpack.pack_fields_grouped(
                     B, w, v, bit0, local_words, nwords, group)
-                return words, total_bits, k_final
+                return swap32(words), total_bits, k_final
 
         fn = jax.jit(chunk)
         _JIT_CACHE[key] = fn
@@ -184,10 +193,12 @@ def _jax_chunk_fn(cfg, n_rsi, nb):
 
 
 def words_to_stream_bytes(words, total_bits):
-    """Materialise a packed u32 word buffer (index 0 = front pad word) into
-    the big-endian stream bytes for `total_bits` of payload."""
+    """Slice the stream bytes for `total_bits` of payload out of a chunk
+    fn's word buffer (index 0 = front pad word).  The device already
+    emitted the words big-endian (swap32 in _jax_chunk_fn), so this is a
+    zero-copy reinterpret + slice."""
     nbytes = (total_bits + 7) // 8
-    by = np.asarray(words).view(np.uint32).astype(">u4").view(np.uint8)
+    by = np.asarray(words).view(np.uint8)
     return by[4:4 + nbytes]
 
 
