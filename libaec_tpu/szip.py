@@ -164,11 +164,10 @@ def sz_buffto_buff_compress(source, param: SZCom, dest_len=None):
     return comp
 
 
-def sz_buffto_buff_decompress(source, param: SZCom, out_size):
-    """SZ_BufftoBuffDecompress (sz_compat.c:185-268). Returns bytes of length
-    <= out_size."""
-    if sz_check_params(param) != SZ_OK:
-        raise AecError(SZ_PARAM_ERROR, "invalid SZ parameters")
+def _decompress_plan(param: SZCom, out_size):
+    """Shared decompress plan: (cfg, decode buffer size, postprocess)
+    where postprocess(raw decode bytes) -> final pixel bytes (scanline
+    unpadding + byte-plane deinterleave, sz_compat.c:209-250)."""
     block_size, rsi = _stream_params(param)
     flags = _convert_options(param.options_mask)
 
@@ -184,28 +183,63 @@ def sz_buffto_buff_decompress(source, param: SZCom, out_size):
         scanlines = -(-(out_size // pixel_size) // line_pixels)
         buf_size = padded_pixels * pixel_size * scanlines
     else:
+        scanlines = 0
         buf_size = out_size
 
     cfg = Config(bits_per_sample, block_size, rsi, flags)
+
+    def post(buf):
+        if pad_scanline:
+            a = np.frombuffer(buf, np.uint8)
+            line_bytes = line_pixels * pixel_size
+            padded_bytes = padded_pixels * pixel_size
+            nlines = len(a) // padded_bytes
+            trimmed = a[: nlines * padded_bytes].reshape(nlines,
+                                                         padded_bytes)
+            buf = trimmed[:, :line_bytes].tobytes() \
+                + bytes(a[nlines * padded_bytes:])
+            buf = buf[: scanlines * line_bytes]
+        n = min(len(buf), out_size)
+        if deinterleave:
+            return _deinterleave(buf, param.bits_per_pixel // 8, n)
+        return bytes(buf[:n])
+
+    return cfg, buf_size, post
+
+
+def sz_buffto_buff_decompress(source, param: SZCom, out_size):
+    """SZ_BufftoBuffDecompress (sz_compat.c:185-268). Returns bytes of length
+    <= out_size."""
+    if sz_check_params(param) != SZ_OK:
+        raise AecError(SZ_PARAM_ERROR, "invalid SZ parameters")
+    cfg, buf_size, post = _decompress_plan(param, out_size)
     status, buf = decode_buffer_status(bytes(source), cfg, buf_size)
     if status != AEC_OK:
         raise AecError(status, "decode failed")
+    return post(buf)
 
-    if pad_scanline:
-        a = np.frombuffer(buf, np.uint8)
-        line_bytes = line_pixels * pixel_size
-        padded_bytes = padded_pixels * pixel_size
-        nlines = len(a) // padded_bytes
-        trimmed = a[: nlines * padded_bytes].reshape(nlines, padded_bytes)
-        buf = trimmed[:, :line_bytes].tobytes() \
-            + bytes(a[nlines * padded_bytes:])
-        total = scanlines * line_bytes
-        buf = buf[:total]
 
-    n = min(len(buf), out_size)
-    if deinterleave:
-        return _deinterleave(buf, param.bits_per_pixel // 8, n)
-    return bytes(buf[:n])
+def sz_decompress_batch(sources, param: SZCom, out_sizes):
+    """Decompress many independent SZ streams (the HDF5 dataset shape: one
+    stream per chunk) with scan/device overlap (decode.decode_buffers_tpu):
+    the serial structural scans run on host threads while the TPU decodes
+    every stream's payloads.  No reference counterpart -- the reference is
+    strictly one-buffer-at-a-time.  Returns a list of bytes; raises
+    AecError carrying the first failing stream's status."""
+    from .decode import decode_buffers_tpu
+
+    if sz_check_params(param) != SZ_OK:
+        raise AecError(SZ_PARAM_ERROR, "invalid SZ parameters")
+    plans = [_decompress_plan(param, n) for n in out_sizes]
+    cfg = plans[0][0] if plans else None
+    results = decode_buffers_tpu([bytes(s) for s in sources], cfg,
+                                 [p[1] for p in plans]) if plans else []
+    out = []
+    for (status, buf), (_, _, post) in zip(results, plans):
+        if status != AEC_OK:
+            raise AecError(status, "decode failed")
+        out.append(post(buf))
+    return out
 
 
 def sz_encoder_enabled():

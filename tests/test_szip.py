@@ -78,3 +78,28 @@ def test_sz_compress_stub():
     """netcdf configure probe (sz_compat.c:275-276)."""
     assert szip.SZ_Compress() == szip.SZ_OK
     assert szip.SZ_encoder_enabled() == 1
+
+
+def test_sz_decompress_batch_matches_single():
+    """Batch decompress (threaded scans + shared device) equals the
+    per-buffer path for a mix of shapes, incl. padded scanlines and the
+    64-bpp interleave."""
+    rng = np.random.default_rng(3)
+    cases = [
+        (szip.SZCom(szip.SZ_MSB_OPTION_MASK | szip.SZ_NN_OPTION_MASK,
+                    16, 16, 250), ">u2", 250 * 7),   # padded scanlines
+        (szip.SZCom(szip.SZ_MSB_OPTION_MASK | szip.SZ_NN_OPTION_MASK,
+                    16, 16, 250), ">u2", 250 * 3 + 17),
+    ]
+    for param, dt, n in cases:
+        datas, comps = [], []
+        for k in range(4):
+            d = rng.integers(0, 3000, n + k).astype(dt).tobytes()
+            datas.append(d)
+            comps.append(szip.sz_buffto_buff_compress(d, param))
+        singles = [szip.sz_buffto_buff_decompress(c, param, len(d))
+                   for c, d in zip(comps, datas)]
+        batch = szip.sz_decompress_batch(comps, param,
+                                         [len(d) for d in datas])
+        assert batch == singles
+        assert all(s == d for s, d in zip(singles, datas))
