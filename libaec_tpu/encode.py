@@ -192,6 +192,31 @@ def _jax_chunk_fn(cfg, n_rsi, nb):
     return fn
 
 
+def _jax_chunk_fn_bytes(cfg, n_rsi, nb):
+    """Chunk encoder taking RAW stream bytes: the byte->u32 sample widening
+    (ops/accessors.bytes_to_samples) runs on device, so the host stages
+    bytes_per_sample bytes per sample instead of 4 -- for the 16-bit bench
+    config that halves H2D traffic, and the host-side numpy conversion
+    pass disappears.  Signature: (raw u8 [n_rsi*S*bsz], k_init, bit0)."""
+    key = ("bytes", cfg, n_rsi, nb)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        inner = _jax_chunk_fn(cfg, n_rsi, nb)
+        bsz = cfg.bytes_per_sample
+        ns = n_rsi * nb * cfg.block_size
+
+        def chunk_bytes(raw_u8, k_init, bit0):
+            x = accessors.bytes_to_samples(jnp, raw_u8, bsz, cfg.msb)
+            return inner(x.reshape(n_rsi, ns // n_rsi), k_init, bit0)
+
+        fn = jax.jit(chunk_bytes)
+        _JIT_CACHE[key] = fn
+    return fn
+
+
 def words_to_stream_bytes(words, total_bits):
     """Slice the stream bytes for `total_bits` of payload out of a chunk
     fn's word buffer (index 0 = front pad word).  The device already
@@ -211,16 +236,18 @@ def encode_blocks_jax(cfg, x_np, nb, k_init, bit0):
 
 
 def encode_chunks_jax_pipelined(cfg, chunks, on_chunk, k0=0, bit0=0,
-                                max_inflight=4):
+                                max_inflight=4, raw_bytes=False):
     """Dispatch whole-RSI chunks back-to-back with bounded device residency.
 
-    chunks: iterable of u32 [n_rsi, samples_per_rsi] arrays (equal n_rsi
-    gets one compiled program).  The inter-chunk carries -- warm-start k
-    (encode.c:369) and the bit cursor modulo 8 -- stay on the device as
-    traced scalars, so the TPU never waits on the host between chunks; up
-    to `max_inflight` chunks are queued before the oldest result is
-    materialised through `on_chunk(words_dev, total_bits_dev)` (bounding
-    device memory, unlike an unbounded dispatch of every chunk).
+    chunks: iterable of u32 [n_rsi, samples_per_rsi] arrays (or, with
+    raw_bytes=True, u8 [n_rsi * rsi_len_bytes] stream-byte arrays widened
+    on device; equal n_rsi gets one compiled program).  The inter-chunk
+    carries -- warm-start k (encode.c:369) and the bit cursor modulo 8 --
+    stay on the device as traced scalars, so the TPU never waits on the
+    host between chunks; up to `max_inflight` chunks are queued before the
+    oldest result is materialised through
+    `on_chunk(words_dev, total_bits_dev)` (bounding device memory, unlike
+    an unbounded dispatch of every chunk).
 
     Returns the final k as a device scalar.
     """
@@ -228,9 +255,13 @@ def encode_chunks_jax_pipelined(cfg, chunks, on_chunk, k0=0, bit0=0,
 
     k = jnp.int32(k0)
     bits_in_byte = jnp.uint32(bit0)
+    rsi_bytes = cfg.rsi_len_bytes
     pending = []
     for x in chunks:
-        fn = _jax_chunk_fn(cfg, x.shape[0], cfg.rsi)
+        if raw_bytes:
+            fn = _jax_chunk_fn_bytes(cfg, x.shape[0] // rsi_bytes, cfg.rsi)
+        else:
+            fn = _jax_chunk_fn(cfg, x.shape[0], cfg.rsi)
         words, total_bits, k = fn(x, k, bits_in_byte)
         # next chunk's leading partial byte: cursor mod 8
         bits_in_byte = total_bits % jnp.uint32(8)
@@ -281,7 +312,6 @@ def encode_buffer(data, cfg: Config, backend=None, rsis_per_chunk=None):
         return out.finish()
 
     raw = np.frombuffer(bytes(data[: n_samples * bsz]), dtype=np.uint8)
-    samples = accessors.bytes_to_samples(np, raw, bsz, cfg.msb)
 
     S = cfg.samples_per_rsi
     n_full = n_samples // S
@@ -297,20 +327,25 @@ def encode_buffer(data, cfg: Config, backend=None, rsis_per_chunk=None):
 
     run_chunk.k = 0
     if use_jax and n_full:
-        # pipelined device path: full-RSI chunks dispatched without host
-        # syncs (k and the bit cursor carried as device scalars)
+        # pipelined device path: full-RSI chunks of RAW stream bytes
+        # dispatched without host syncs (k and the bit cursor carried as
+        # device scalars); the byte->sample widening runs on device, so
+        # staging moves bsz bytes per sample instead of 4
         def gen_chunks():
             for s in range(0, n_full, rsis_per_chunk):
                 cnt = min(rsis_per_chunk, n_full - s)
-                yield samples[s * S:(s + cnt) * S].reshape(cnt, S)
+                yield raw[s * S * bsz:(s + cnt) * S * bsz]
 
         def on_chunk(words, total_bits):
             tb = int(total_bits)
             out.append(words_to_stream_bytes(words, tb), tb)
 
-        k_dev = encode_chunks_jax_pipelined(cfg, gen_chunks(), on_chunk)
+        k_dev = encode_chunks_jax_pipelined(cfg, gen_chunks(), on_chunk,
+                                            raw_bytes=True)
         run_chunk.k = int(k_dev)
-    else:
+    elif n_full:
+        samples = accessors.bytes_to_samples(
+            np, raw[: n_full * S * bsz], bsz, cfg.msb)
         for start in range(0, n_full, rsis_per_chunk):
             cnt = min(rsis_per_chunk, n_full - start)
             x = samples[start * S:(start + cnt) * S].reshape(cnt, S)
@@ -318,7 +353,8 @@ def encode_buffer(data, cfg: Config, backend=None, rsis_per_chunk=None):
             out.append(packed, bits)
     if rem:
         nb_tail = -(-rem // cfg.block_size)
-        tail = samples[n_full * S:]
+        tail = accessors.bytes_to_samples(
+            np, raw[n_full * S * bsz:], bsz, cfg.msb)
         pad = nb_tail * cfg.block_size - rem
         if pad:
             tail = np.concatenate([tail, np.full(pad, tail[-1], np.uint32)])
