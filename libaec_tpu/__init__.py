@@ -27,6 +27,12 @@ from .constants import (  # noqa: F401
     AecStreamError,
 )
 from .config import Config  # noqa: F401
-from .encode import encode_buffer  # noqa: F401
+from .decode import (  # noqa: F401
+    decode_buffer,
+    decode_buffer_status,
+    decode_buffer_tpu,
+    decode_buffers_tpu,
+)
+from .encode import encode_buffer, encode_buffer_status  # noqa: F401
 
 __version__ = "0.1.0"

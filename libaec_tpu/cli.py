@@ -53,7 +53,7 @@ def main(argv=None):
     rsi = 2
     flags = AEC_DATA_PREPROCESS
     dflag = False
-    chunk = 10485760  # accepted for compatibility; host chunking is automatic
+    chunk = 10485760  # -b: internal buffer size (aec.c:149-156)
 
     def get_param(i):
         if len(argv[i]) == 2:
@@ -114,8 +114,18 @@ def main(argv=None):
     with open(infn, "rb") as f:
         data = f.read()
 
+    # -b sizes the internal buffer; the reference scales it by the sample
+    # byte width (aec.c:149-156).  Host chunking here is whole RSIs, so the
+    # scaled byte size maps onto rsis_per_chunk.
+    if cfg.bits_per_sample > 16:
+        chunk *= 3 if (cfg.bits_per_sample <= 24 and cfg.three_byte) else 4
+    elif cfg.bits_per_sample > 8:
+        chunk *= 2
+    rsis_per_chunk = max(1, chunk // cfg.rsi_len_bytes)
+
     if dflag:
-        return _decode_to_file(data, cfg, outfn)
+        return _decode_to_file(data, cfg, outfn,
+                               rsis_per_chunk=rsis_per_chunk)
     else:
         backend = None
         if len(data) >= _JAX_THRESHOLD_BYTES:
@@ -125,7 +135,8 @@ def main(argv=None):
                 backend = jax_backend()
             except Exception:
                 backend = None
-        out = encode_buffer(data, cfg, backend=backend)
+        out = encode_buffer(data, cfg, backend=backend,
+                            rsis_per_chunk=rsis_per_chunk)
 
     with open(outfn, "wb") as f:
         f.write(out)
@@ -134,10 +145,34 @@ def main(argv=None):
 
 def _decode_to_file(data, cfg, outfn, rsis_per_chunk=None):
     """Stream-decode in bounded memory: complete RSIs are scanned and
-    decoded in ~64 MiB output chunks written straight to the file; only the
-    sub-RSI tail needs a one-RSI buffer.  CLI semantics stream until input
-    is exhausted (aec.c:191-219), so no output-size bound is involved."""
+    decoded in chunks written straight to the file; only the sub-RSI tail
+    needs a one-RSI buffer.  CLI semantics stream until input is exhausted
+    (aec.c:191-219), so no output-size bound is involved.
+
+    Large streams route phase 2 to the device (decode.decode_buffer_tpu
+    with a file part_sink) when the jax backend is a TPU -- same policy as
+    decode_buffer_status."""
     from . import native
+    from .decode import _device_decode_wanted, decode_buffer_tpu
+
+    # the compressed length is a conservative proxy for the decoded length
+    # (lossless streams of this codec are rarely below ~0.5x)
+    if native.get_lib() is not None and _device_decode_wanted(len(data)):
+        # offsets-only pre-scan gives the exact complete-RSI count, so the
+        # device decoder's output size is tight (+1 RSI for the partial
+        # tail) instead of the worst-case bound; output bytes stream to
+        # the file through part_sink, keeping memory chunk-bounded
+        scanned = native.scan_rsis(data, 0, 1 << 40, cfg)
+        if scanned is not None:
+            n_rsis, _end = scanned
+            tight = (n_rsis + 1) * cfg.rsi_len_bytes
+            with open(outfn, "wb") as f:
+                status, _ = decode_buffer_tpu(data, cfg, tight,
+                                              part_sink=f.write)
+            if status < 0:
+                sys.stderr.write(f"ERROR: {status}\n")
+                return 1
+            return 0
 
     if native.get_lib() is None:
         # no toolchain: scalar fallback with the worst-case output bound

@@ -28,13 +28,56 @@ from .constants import (
 )
 
 
-def decode_buffer_status(data, cfg: Config, out_size):
-    """One-shot decode with C-style (status, bytes) result
-    (aec_buffer_decode parity, decode.c:843-854)."""
+# Streams whose decoded size reaches this run phase 2 on the device by
+# default (when the jax backend is a TPU); below it the per-call dispatch
+# cost outweighs the device's bandwidth advantage.
+DEVICE_DECODE_MIN_BYTES = 16 << 20
+
+
+def _device_decode_wanted(out_size):
+    """Routing policy for the one-shot decode surface.
+
+    LIBAEC_TPU_DECODE=device forces the device path, =cpu forces the
+    native/numpy path; default ("auto") picks the device for >=16 MiB
+    outputs when the jax backend is a TPU.  The fastest decoder in the
+    codebase (8+ GiB/s phase 2) must be what users get by default on real
+    TPU hosts."""
+    import os
+
+    mode = os.environ.get("LIBAEC_TPU_DECODE", "auto")
+    if mode == "cpu":
+        return False
+    if mode == "device":
+        return True
+    if out_size < DEVICE_DECODE_MIN_BYTES:
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _decode_cpu_status(data, cfg: Config, out_size):
+    """CPU decode: native two-phase threaded decoder, numpy fallback."""
     res = native.decode(bytes(data), out_size, cfg)
     if res is not None:
         return res
     return decode_buffer_numpy(bytes(data), out_size, cfg)
+
+
+def decode_buffer_status(data, cfg: Config, out_size):
+    """One-shot decode with C-style (status, bytes) result
+    (aec_buffer_decode parity, decode.c:843-854).
+
+    Large streams route to the two-phase device decoder
+    (decode_buffer_tpu) when the jax backend is a TPU; the CPU path
+    remains the fallback and the small-stream default (see
+    _device_decode_wanted)."""
+    if _device_decode_wanted(out_size) and native.get_lib() is not None:
+        return decode_buffer_tpu(data, cfg, out_size)
+    return _decode_cpu_status(data, cfg, out_size)
 
 
 def decode_buffer(data, cfg: Config, out_size):
@@ -111,8 +154,14 @@ def scan_record_arrays(recs):
     )
 
 
-def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None):
+def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
+                      part_sink=None):
     """Two-phase decode with the entropy phase on device (status, bytes).
+
+    part_sink, if given, receives the decoded bytes incrementally (in
+    order) instead of accumulating them -- the returned bytes are then
+    empty.  This bounds host memory to one device chunk for
+    file-streaming consumers (the CLI).
 
     Phase 1 (native.scan_blocks): structural scan -> per-block payload
     records.  Phase 2 (jax, ops/bitunpack.py): all block payloads decode in
@@ -141,6 +190,7 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None):
     # is asynchronous, so the TPU decodes chunk i while the host scans
     # chunk i+1.  This also bounds host record memory to one chunk.
     parts = []
+    emit = part_sink if part_sink is not None else parts.append
     pending = []
 
     def drain_one():
@@ -148,7 +198,7 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None):
         # the fused swizzle kernel returns [n_rsi, words]; flatten
         # before the byte slice or a padded chunk is never truncated
         by = np.asarray(dev_out).ravel().view(np.uint8)
-        parts.append(by[: cnt * S * bsz].tobytes())
+        emit(by[: cnt * S * bsz].tobytes())
 
     n_rsis = 0
     tail_bit = 0
@@ -157,7 +207,11 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None):
         res = native.scan_blocks(data, ask, max_fs, cfg, wf=wf,
                                  start_bit=tail_bit)
         if res is None:  # no native library: only possible on first slice
-            return decode_buffer_status(data, cfg, out_size)
+            status, out = _decode_cpu_status(data, cfg, out_size)
+            if part_sink is not None:
+                part_sink(out)
+                return status, b""
+            return status, out
         recs, cnt, tail_bit = res
         if cnt == 0:
             break
@@ -184,8 +238,16 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None):
     done_bytes = n_rsis * S * bsz
     res = native.decode_tail(data, tail_bit, out_size - done_bytes, cfg)
     if res is None:
-        return decode_buffer_status(data, cfg, out_size)
+        status, out = _decode_cpu_status(data, cfg, out_size)
+        if part_sink is not None:
+            part_sink(out)
+            return status, b""
+        return status, out
     status, tail = res
+    if part_sink is not None:
+        if tail:
+            part_sink(tail)
+        return status, b""
     return status, b"".join(parts) + tail
 
 
@@ -257,8 +319,8 @@ def decode_buffers_tpu(datas, cfg: Config, out_sizes, scan_threads=None,
         for i, fut in enumerate(futures):
             res = fut.result()
             if res is None:  # native library unavailable
-                results[i] = decode_buffer_status(datas[i], cfg,
-                                                  out_sizes[i])
+                results[i] = _decode_cpu_status(datas[i], cfg,
+                                                out_sizes[i])
                 continue
             chunks, tail_bit, n_rsis = res
             pending = []
@@ -282,8 +344,8 @@ def decode_buffers_tpu(datas, cfg: Config, out_sizes, scan_threads=None,
             res = native.decode_tail(datas[i], tail_bit,
                                      out_sizes[i] - done, cfg)
             if res is None:
-                results[i] = decode_buffer_status(datas[i], cfg,
-                                                  out_sizes[i])
+                results[i] = _decode_cpu_status(datas[i], cfg,
+                                                out_sizes[i])
                 continue
             status, tail = res
             results[i] = (status, b"".join(parts) + tail)

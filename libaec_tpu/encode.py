@@ -273,6 +273,27 @@ def encode_chunks_jax_pipelined(cfg, chunks, on_chunk, k0=0, bit0=0,
     return k
 
 
+# Buffers at least this large default to the jax/TPU encode pipeline.
+AUTO_JAX_MIN_BYTES = 4 << 20
+
+
+def _auto_backend(n_bytes):
+    """Default-backend policy for the one-shot encode surface (mirror of
+    decode._device_decode_wanted): jax for large buffers, numpy otherwise,
+    with an env override."""
+    import os
+
+    mode = os.environ.get("LIBAEC_TPU_ENCODE", "auto")
+    if mode == "numpy":
+        return _backend.NUMPY
+    if mode != "jax" and n_bytes < AUTO_JAX_MIN_BYTES:
+        return _backend.NUMPY
+    try:
+        return _backend.jax_backend()
+    except Exception:
+        return _backend.NUMPY
+
+
 class _OutputAssembler:
     """Accumulates chunk outputs, OR-merging the shared boundary byte."""
 
@@ -298,13 +319,25 @@ class _OutputAssembler:
         return bytes(self.buf)
 
 
-def encode_buffer(data, cfg: Config, backend=None, rsis_per_chunk=None):
+def encode_buffer(data, cfg: Config, backend=None, rsis_per_chunk=None,
+                  out_size=None):
     """One-shot encode of a byte buffer (aec_buffer_encode parity).
 
     Trailing bytes that do not make up a whole sample are ignored, and a
     trailing partial RSI is padded by repeating the last sample
-    (encode.c:676-685)."""
-    B = backend or _backend.NUMPY
+    (encode.c:676-685).
+
+    out_size, if given, is the caller's output capacity: when the encoded
+    stream does not fit, AecStreamError is raised -- the condition
+    aec_buffer_encode reports as AEC_STREAM_ERROR when the final flush
+    cannot complete into next_out/avail_out (libaec.h:154-166,
+    encode.c:938-963).
+
+    With backend=None, large buffers (>=4 MiB) route to the jax/TPU
+    pipeline automatically (LIBAEC_TPU_ENCODE=numpy disables this; =jax
+    forces it); small buffers use numpy, whose per-call cost is lower than
+    a device dispatch."""
+    B = backend or _auto_backend(len(data))
     bsz = cfg.bytes_per_sample
     n_samples = len(data) // bsz
     out = _OutputAssembler()
@@ -364,4 +397,28 @@ def encode_buffer(data, cfg: Config, backend=None, rsis_per_chunk=None):
             _backend.NUMPY, cfg, tail.reshape(1, nb_tail * cfg.block_size),
             nb_tail, run_chunk.k, out.bits % 8)
         out.append(packed, bits)
-    return out.finish()
+    result = out.finish()
+    if out_size is not None and len(result) > out_size:
+        from .constants import AecStreamError
+
+        raise AecStreamError(
+            f"encoded stream ({len(result)} bytes) exceeds the output "
+            f"capacity ({out_size} bytes)")
+    return result
+
+
+def encode_buffer_status(data, cfg: Config, out_size, backend=None,
+                         rsis_per_chunk=None):
+    """C-style one-shot encode: (status, bytes) with caller-owned output
+    capacity, mirroring aec_buffer_encode's next_out/avail_out contract
+    (libaec.h:154-166).  On overflow the first out_size encoded bytes are
+    returned with AEC_STREAM_ERROR, matching the reference's behaviour of
+    filling the caller's buffer before aec_encode_end reports the
+    incomplete flush (encode.c:929-948)."""
+    from .constants import AEC_OK, AEC_STREAM_ERROR
+
+    result = encode_buffer(data, cfg, backend=backend,
+                           rsis_per_chunk=rsis_per_chunk)
+    if len(result) > out_size:
+        return AEC_STREAM_ERROR, result[:out_size]
+    return AEC_OK, result

@@ -67,8 +67,29 @@ class _EncState:
 
     def _run(self, samples_u32, nb):
         cfg = self.cfg
-        bit0 = self.bits % 8
         x = samples_u32.reshape(-1, nb * cfg.block_size)
+        if self.backend.name == "jax" and nb == cfg.rsi and x.shape[0] > 1:
+            # binary-decompose the RSI count: a caller feeding irregular
+            # chunk sizes would otherwise jit-compile one program per
+            # distinct count; power-of-two pieces bound the cache to
+            # O(log n) shapes (mirroring decode.py's bucketing).  The
+            # k/bit-cursor carries chain through the pieces exactly as
+            # they do across chunks.
+            i, n = 0, x.shape[0]
+            while n:
+                # cap pieces (1024 RSIs = 64 MiB of u32 samples at the
+                # bench config) so one huge feed doesn't compile/allocate
+                # an arbitrarily large program
+                p = min(1 << (n.bit_length() - 1), 1024)
+                self._run_one(x[i:i + p], nb)
+                i += p
+                n -= p
+        else:
+            self._run_one(x, nb)
+
+    def _run_one(self, x, nb):
+        cfg = self.cfg
+        bit0 = self.bits % 8
         if self.backend.name == "jax":
             packed, bits, self.k = encode_blocks_jax(cfg, x, nb, self.k, bit0)
         else:

@@ -68,3 +68,38 @@ def test_cli_encode_decode_parity(tmp_path, flags, bps, cfg_flags):
     # including the identically-padded ragged tail
     a, b = ours_dec.read_bytes(), ref_dec.read_bytes()
     assert a == b
+
+
+def test_cli_buffer_size_flag(tmp_path):
+    """-b sizes the internal chunking (aec.c:149-156); output bytes must be
+    identical for any -b, including one smaller than a single RSI."""
+    flags = ["-n", "16", "-j", "16", "-r", "32", "-m"]
+    cfg = Config(16, 16, 32, 0x0C)
+    rng = np.random.default_rng(99)
+    n = cfg.samples_per_rsi * 7 + 5
+    src = tmp_path / "src.dat"
+    src.write_bytes(gen.pack_samples(
+        gen.gen_values(rng, n, 16, False, "lowentropy"), 16, cfg.flags))
+
+    outs = []
+    for b in ["64", "4096", "10485760"]:
+        rz = tmp_path / f"b{b}.rz"
+        _run_ours(flags + ["-b", b, str(src), str(rz)])
+        outs.append(rz.read_bytes())
+    assert outs[0] == outs[1] == outs[2]
+
+    ref_rz = tmp_path / "ref.rz"
+    subprocess.run([str(REF_AEC)] + flags + [str(src), str(ref_rz)],
+                   check=True, timeout=300)
+    assert outs[0] == ref_rz.read_bytes()
+
+    # decode emits the encoder's repeat-last-sample padding of the ragged
+    # tail, so compare against the reference binary's decode, not src
+    ref_dec = tmp_path / "ref.dat"
+    subprocess.run([str(REF_AEC), "-d"] + flags + [str(ref_rz),
+                                                   str(ref_dec)],
+                   check=True, timeout=300)
+    for b in ["64", "10485760"]:
+        dec = tmp_path / f"d{b}.dat"
+        _run_ours(["-d"] + flags + ["-b", b, str(ref_rz), str(dec)])
+        assert dec.read_bytes() == ref_dec.read_bytes()
