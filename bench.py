@@ -19,7 +19,11 @@ Reported numbers (all in the ONE JSON line):
   decode_device           device-side sustained decode (phase-2 kernels;
                           records staged once, pipelined dispatch).
   decode_scan             host phase-1 structural scan incl. payload-window
-                          materialisation (overlappable with phase 2).
+                          materialisation (arena-pooled, as production).
+  decode_stream           pipelined single-stream decode: fresh host scans
+                          overlapped with device decode iterations
+                          (max(phase1, phase2) sustained; staging excluded
+                          like decode_device).
   decode_e2e              decode_buffer_tpu() wall time including the scan,
                           record staging and output fetch.
   decode_cpu              the pure-CPU two-phase threaded decoder.
@@ -123,20 +127,56 @@ def bench_encode_kernel(chunk_u32, n_chunks, expect):
 
 
 def bench_encode_e2e(raw):
+    """Warm encode_buffer() wall time, plus a per-chunk breakdown of where
+    the time goes (stage = H2D of the raw chunk bytes, dispatch = device
+    compute + scalar sync, fetch = D2H of the compressed slice).  The
+    warm-up call runs the FULL buffer so every chunk shape the timed run
+    uses is compiled outside the timed region (a 512-RSI warm-up against a
+    1024-RSI timed chunking is exactly the r03 mistake that put a ~15 s
+    Pallas compile inside the measurement and reported 3.7 MiB/s)."""
+    import jax
+
     from libaec_tpu.backend import jax_backend
-    from libaec_tpu.encode import encode_buffer
+    from libaec_tpu.encode import (_jax_chunk_fn_bytes, encode_buffer,
+                                   words_to_stream_bytes)
 
     B = jax_backend()
-    encode_buffer(raw[: CFG.rsi_len_bytes * CHUNK_RSIS], CFG, backend=B)
+    encode_buffer(raw, CFG, backend=B)  # compile + warm all chunk shapes
     t0 = time.time()
     comp = encode_buffer(raw, CFG, backend=B)
     dt = time.time() - t0
-    return len(raw) / (1 << 20) / dt, comp
+
+    # breakdown probe on one chunk of the same shape the e2e path used
+    rpc = min(max(1, (64 << 20) // (RSI_SAMPLES * 4)),
+              len(raw) // CFG.rsi_len_bytes)
+    chunk = np.frombuffer(raw[: rpc * CFG.rsi_len_bytes], dtype=np.uint8)
+    fn = _jax_chunk_fn_bytes(CFG, rpc, CFG.rsi)
+    int(fn(chunk, 0, 0)[1])  # warm (no-op if e2e warmed it)
+    t0 = time.time()
+    xd = jax.device_put(chunk)
+    np.asarray(xd[-1])  # block_until_ready is not a sync on axon; fetch is
+    t_stage = time.time() - t0
+    t0 = time.time()
+    words, tb, _ = fn(xd, 0, 0)
+    tbv = int(tb)
+    t_disp = time.time() - t0
+    t0 = time.time()
+    words_to_stream_bytes(words, tbv)
+    t_fetch = time.time() - t0
+    breakdown = {
+        "chunk_mib": round(len(chunk) / (1 << 20), 1),
+        "stage_s": round(t_stage, 3),
+        "dispatch_s": round(t_disp, 3),
+        "fetch_s": round(t_fetch, 3),
+    }
+    return len(raw) / (1 << 20) / dt, comp, breakdown
 
 
 def bench_decode_device(comp, raw):
     """Phase-2 device-sustained throughput (records staged once, the
-    decode fn looped inside one jit) plus the host scan's throughput."""
+    decode fn looped inside one jit) plus the host scan's throughput and
+    the PIPELINED single-stream rate (host scan and device decode running
+    concurrently, the production decode_buffer_tpu overlap)."""
     import jax
     import jax.numpy as jnp
 
@@ -144,12 +184,15 @@ def bench_decode_device(comp, raw):
     from libaec_tpu.ops import bitunpack
 
     n_rsis = len(raw) // CFG.rsi_len_bytes
+    max_fs = bitunpack.max_fs_bits(CFG)
+    wf = bitunpack.window_words(CFG)
+    # arena-pooled scan, exactly as decode_buffer_tpu runs it in production
+    arena = native.ScanArena(n_rsis * CFG.rsi, wf)
     t_scan = float("inf")
     for _rep in range(3):
         t0 = time.time()
-        recs, n_ok, _ = native.scan_blocks(comp, n_rsis,
-                                           bitunpack.max_fs_bits(CFG), CFG,
-                                           wf=bitunpack.window_words(CFG))
+        recs, n_ok, _ = native.scan_blocks(comp, n_rsis, max_fs, CFG,
+                                           wf=wf, arena=arena)
         t_scan = min(t_scan, time.time() - t0)
     assert n_ok == n_rsis
     arrs = [jax.device_put(a) for a in scan_record_arrays(recs)]
@@ -171,7 +214,35 @@ def bench_decode_device(comp, raw):
 
     per_iter = _slope_time(make_loop, 8)
     mib = len(raw) / (1 << 20)
-    return mib / per_iter, mib / t_scan
+
+    # Pipelined single-stream rate: while the device runs n decode
+    # iterations (async dispatch), the host runs n FULL fresh structural
+    # scans (records + windows, pooled arenas) -- the decode_buffer_tpu
+    # overlap.  Slope between n and 3n cancels the dispatch+sync constant;
+    # the per-iteration time converges to max(scan, device), i.e. the
+    # sustained rate of the two-phase pipeline on one stream.  Staging is
+    # excluded for the same reason it is in decode_device: the axon dev
+    # tunnel (~40 MiB/s) is not the PCIe/DMA path of a real TPU host.
+    pool = [native.ScanArena(n_rsis * CFG.rsi, wf) for _ in range(2)]
+
+    def pipelined(n, loop):
+        t0 = time.time()
+        res = loop()  # async device dispatch of n decode iterations
+        for i in range(n):
+            native.scan_blocks(comp, n_rsis, max_fs, CFG, wf=wf,
+                               arena=pool[i % 2])
+        np.asarray(res)  # device sync
+        return time.time() - t0
+
+    loop_n, loop_3n = make_loop(8), make_loop(24)
+    np.asarray(loop_n())
+    np.asarray(loop_3n())
+    best = float("inf")
+    for _rep in range(3):
+        tn = pipelined(8, loop_n)
+        t3n = pipelined(24, loop_3n)
+        best = min(best, (t3n - tn) / 16)
+    return mib / per_iter, mib / t_scan, mib / best
 
 
 def main():
@@ -194,9 +265,9 @@ def main():
 
     e2e_mib = min(total_mib, 64) << 20
     e2e_raw = (typical * (e2e_mib // len(typical)))[:e2e_mib]
-    enc_e2e, _ = bench_encode_e2e(e2e_raw)
+    enc_e2e, _, e2e_breakdown = bench_encode_e2e(e2e_raw)
 
-    dec_device, dec_scan = bench_decode_device(comp, chunk_raw)
+    dec_device, dec_scan, dec_stream = bench_decode_device(comp, chunk_raw)
 
     from libaec_tpu.decode import decode_buffer_tpu
 
@@ -216,10 +287,12 @@ def main():
         "unit": "MiB/s",
         "vs_baseline": round(enc_kernel / BASELINE_MIBS, 3),
         "encode_e2e": round(enc_e2e, 1),
+        "encode_e2e_breakdown": e2e_breakdown,
         "decode_device": round(dec_device, 1),
         "decode_device_vs_baseline": round(
             dec_device / DECODE_BASELINE_MIBS, 3),
         "decode_scan": round(dec_scan, 1),
+        "decode_stream": round(dec_stream, 1),
         "decode_e2e": round(dec_e2e, 1),
         "decode_cpu": round(dec_cpu, 1),
     }

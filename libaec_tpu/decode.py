@@ -192,20 +192,30 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
     parts = []
     emit = part_sink if part_sink is not None else parts.append
     pending = []
+    # Record-arena pool: a fresh np.empty per chunk costs ~6 ms of page
+    # faults (comparable to the walk itself).  An arena is recycled only
+    # once its chunk's OUTPUT has been fetched, which orders after the
+    # input transfer that read it.
+    free_arenas = []
 
     def drain_one():
-        dev_out, cnt = pending.pop(0)
+        dev_out, cnt, arena = pending.pop(0)
         # the fused swizzle kernel returns [n_rsi, words]; flatten
         # before the byte slice or a padded chunk is never truncated
         by = np.asarray(dev_out).ravel().view(np.uint8)
+        if arena is not None:
+            free_arenas.append(arena)
         emit(by[: cnt * S * bsz].tobytes())
 
     n_rsis = 0
     tail_bit = 0
     while n_rsis < want_rsis:
         ask = min(chunk_rsis, want_rsis - n_rsis)
+        arena = free_arenas.pop() if free_arenas else (
+            native.ScanArena(chunk_rsis * cfg.rsi, wf)
+            if native.get_lib() is not None else None)
         res = native.scan_blocks(data, ask, max_fs, cfg, wf=wf,
-                                 start_bit=tail_bit)
+                                 start_bit=tail_bit, arena=arena)
         if res is None:  # no native library: only possible on first slice
             status, out = _decode_cpu_status(data, cfg, out_size)
             if part_sink is not None:
@@ -226,7 +236,7 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
                 a = np.pad(a, pad_w)
             chunk_arrs.append(a)
         fn = _jax_decode_fn(cfg, cpad)
-        pending.append((fn(*chunk_arrs), cnt))
+        pending.append((fn(*chunk_arrs), cnt, arena))
         if len(pending) > 4:  # bound device residency, keep 4 in flight
             drain_one()
         n_rsis += cnt

@@ -56,8 +56,12 @@ def decode_tile_kernel(win_ref, fsbit_ref, lsbrel_ref, meta_ref, refs_ref,
     bs = cfg.block_size
     bps = cfg.bits_per_sample
 
-    # windows arrive [T, Wf]; words-on-sublanes is the compute layout
-    win = win_ref[:].T  # u32 [Wf, T]
+    # windows arrive [T, Wf] as RAW scan memcpys; byteswap to big-endian
+    # word values in VMEM (ops/bitunpack.swap32 rationale), then transpose
+    # to words-on-sublanes, the compute layout
+    from ..ops.bitunpack import swap32
+
+    win = swap32(win_ref[:]).T  # u32 [Wf, T]
     fs_bit = fsbit_ref[:]    # u32 [1, T]
     lsb_rel = lsbrel_ref[:]  # u32 [1, T]
     meta = meta_ref[:]       # u32 [1, T]

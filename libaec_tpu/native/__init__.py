@@ -160,8 +160,33 @@ def scan_rsis(data, start_bit: int, max_rsis: int, cfg):
     return n_rsis.value, end_bit.value
 
 
+class ScanArena:
+    """Reusable record buffers for scan_blocks.
+
+    A fresh np.empty per scan chunk costs ~6 ms of page faults per 32 MiB
+    chunk (the OS returns large frees to the kernel) -- nearly the cost of
+    the structural walk itself.  Callers that scan in a loop keep a small
+    pool of arenas and recycle one only after the device has consumed the
+    chunk built in it (decode.py ties recycling to draining the chunk's
+    OUTPUT, which orders after the input transfer)."""
+
+    def __init__(self, nrec, wf):
+        import numpy as np
+
+        self.nrec = nrec
+        self.wf = wf
+        self.fs_off = np.empty(nrec, np.uint64)
+        self.lsb_off = np.empty(nrec, np.uint64)
+        self.meta = np.empty(nrec, np.uint32)
+        self.ref_sample = np.empty(nrec, np.uint32)
+        self.win = np.empty((nrec, wf), np.uint32) if wf else None
+
+    def fits(self, nrec, wf):
+        return nrec <= self.nrec and wf == self.wf
+
+
 def scan_blocks(data, max_rsis: int, max_fs_bits: int, cfg, wf=0,
-                threads=None, start_bit=0):
+                threads=None, start_bit=0, arena=None):
     """Phase-1 structural scan for the device decoder.
 
     Walks the stream from start_bit (an RSI boundary; 0 for the head) and
@@ -187,11 +212,15 @@ def scan_blocks(data, max_rsis: int, max_fs_bits: int, cfg, wf=0,
         threads = min(os.cpu_count() or 1, 8) \
             if wf and len(data) >= (1 << 20) else 1
     nrec = max(max_rsis * cfg.rsi, 1)
-    fs_off = np.empty(nrec, np.uint64)
-    lsb_off = np.empty(nrec, np.uint64)
-    meta = np.empty(nrec, np.uint32)
-    ref_sample = np.empty(nrec, np.uint32)
-    win = np.empty((nrec, wf), np.uint32) if wf else None
+    if arena is not None and arena.fits(nrec, wf):
+        fs_off, lsb_off = arena.fs_off, arena.lsb_off
+        meta, ref_sample, win = arena.meta, arena.ref_sample, arena.win
+    else:
+        fs_off = np.empty(nrec, np.uint64)
+        lsb_off = np.empty(nrec, np.uint64)
+        meta = np.empty(nrec, np.uint32)
+        ref_sample = np.empty(nrec, np.uint32)
+        win = np.empty((nrec, wf), np.uint32) if wf else None
     n_rsis = ctypes.c_size_t(0)
     tail_bit = ctypes.c_uint64(0)
     inview = np.frombuffer(data, np.uint8) if len(data) else \

@@ -95,18 +95,14 @@ struct InputView {
         return w;
     }
 
-    // Stream words [byte_off, byte_off + 4*nw) as native-order values of
-    // the big-endian words; words past the end read as zero.
-    void copy_words_be(size_t byte_off, uint32_t* dst, int nw) const {
+    // Stream words [byte_off, byte_off + 4*nw) copied RAW (host byte
+    // order as stored -- the device byteswaps to big-endian word values
+    // itself, ops/bitunpack.py); words past the end read as zero.  The
+    // bswap used to make this the other third of the scan's time; a pure
+    // memcpy runs at memory speed.
+    void copy_words_raw(size_t byte_off, uint32_t* dst, int nw) const {
         if (byte_off + 4 * (size_t)nw <= len_) {
-            for (int w = 0; w < nw; w++) {
-                uint32_t v;
-                std::memcpy(&v, data_ + byte_off + 4 * (size_t)w, 4);
-#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
-                v = __builtin_bswap32(v);
-#endif
-                dst[w] = v;
-            }
+            std::memcpy(dst, data_ + byte_off, 4 * (size_t)nw);
             return;
         }
         for (int w = 0; w < nw; w++) {
@@ -119,12 +115,11 @@ struct InputView {
                 std::memcpy(tmp, data_ + p, len_ - p);
                 std::memcpy(&v, tmp, 4);
             }
-#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
-            v = __builtin_bswap32(v);
-#endif
             dst[w] = v;
         }
     }
+
+    const uint8_t* raw() const { return data_; }
 
   private:
     const uint8_t* data_;
@@ -184,6 +179,9 @@ class BitCursor {
     // Skip `count` whole FS codes (advance just past the count-th 1 bit).
     // Bulk path for the structural scan: popcount per window instead of a
     // clz per code.  Returns false if the stream ends first.
+    // (A 32-byte popcount-stride variant with a pdep refine was measured
+    // ~8% SLOWER on this workload -- typical FS regions span only ~2
+    // windows, so the per-window early exit wins; see docs/DESIGN.md.)
     bool skip_fs(uint32_t count) {
         while (count) {
             if (pos_ >= nbits_) return false;
@@ -503,7 +501,7 @@ struct BlockRecSink {
         meta[n] = kind | (k << 2) | (ref << 7);
         ref_sample[n] = refs;
         if (win && kind != KIND_ZERO)  // zero blocks never read their win
-            stream->copy_words_be((fso >> 5) << 2, win + (size_t)wf * n, wf);
+            stream->copy_words_raw((fso >> 5) << 2, win + (size_t)wf * n, wf);
         n++;
     }
 };
@@ -515,7 +513,7 @@ static void fill_windows(const InputView& in, const uint64_t* fs_off,
                          size_t lo, size_t hi) {
     for (size_t i = lo; i < hi; i++) {
         if ((meta[i] & 3u) == KIND_ZERO) continue;
-        in.copy_words_be((fs_off[i] >> 5) << 2, win + (size_t)wf * i, wf);
+        in.copy_words_raw((fs_off[i] >> 5) << 2, win + (size_t)wf * i, wf);
     }
 }
 

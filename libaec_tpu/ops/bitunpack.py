@@ -55,13 +55,27 @@ def max_fs_bits(cfg):
     return cfg.block_size * cfg.bits_per_sample
 
 
+def swap32(w):
+    """u32 byteswap, expressible on the VPU (shifts + masks only).
+
+    The native scan memcpys payload windows RAW (host little-endian
+    order); the big-endian word interpretation every parse below relies on
+    is recovered here, on device, where it fuses for free -- host-side
+    bswap was a third of the structural scan's time."""
+    u32 = jnp.uint32
+    w = w.astype(u32)
+    return ((w << u32(24)) | ((w & u32(0xFF00)) << u32(8))
+            | ((w >> u32(8)) & u32(0xFF00)) | (w >> u32(24)))
+
+
 def decode_blocks(cfg, win, fs_bit, lsb_rel, meta, ref_sample,
                   use_pallas=False, interpret=False):
     """Decode all block payloads.  win: u32 [NB, Wf] per-block payload
-    windows (the Wf big-endian stream words from each payload's word,
-    materialised by the native scan -- no device-side gather); record
-    arrays are u32 [NB]: fs_bit is the payload start within window word 0,
-    lsb_rel the LSB region's offset in bits relative to the payload start.
+    windows -- the Wf stream words from each payload's word, memcpy'd RAW
+    by the native scan (no device-side gather; the big-endian byteswap
+    happens on device, see swap32); record arrays are u32 [NB]: fs_bit is
+    the payload start within window word 0, lsb_rel the LSB region's
+    offset in bits relative to the payload start.
     Returns mapped deltas u32 [NB, block_size]."""
     if use_pallas:
         from ..kernels.decode_pallas import decode_payload_pallas
@@ -90,6 +104,7 @@ def _decode_payload_xla(cfg, win, fs_bit, lsb_rel, meta):
     is_split = kind == KIND_SPLIT
     is_uncomp = kind == KIND_UNCOMP
 
+    win = swap32(win)  # raw scan memcpy -> big-endian word values
     win = win.at[:, 0].set(win[:, 0] & (u32(0xFFFFFFFF) >> fs_bit))
 
     # ---- FS parse (split + SE blocks) ------------------------------------
