@@ -189,6 +189,8 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
     # slices with the device dispatch issued between slices: jax dispatch
     # is asynchronous, so the TPU decodes chunk i while the host scans
     # chunk i+1.  This also bounds host record memory to one chunk.
+    from concurrent.futures import ThreadPoolExecutor
+
     parts = []
     emit = part_sink if part_sink is not None else parts.append
     pending = []
@@ -197,15 +199,23 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
     # once its chunk's OUTPUT has been fetched, which orders after the
     # input transfer that read it.
     free_arenas = []
+    # Output fetches run on ONE worker thread (FIFO keeps emit order):
+    # D2H of chunk i overlaps the scan + dispatch of chunk i+1.
+    fetch_pool = ThreadPoolExecutor(1)
+    fetch_futs = []
 
-    def drain_one():
-        dev_out, cnt, arena = pending.pop(0)
+    def fetch(dev_out, cnt, arena):
         # the fused swizzle kernel returns [n_rsi, words]; flatten
         # before the byte slice or a padded chunk is never truncated
         by = np.asarray(dev_out).ravel().view(np.uint8)
         if arena is not None:
             free_arenas.append(arena)
         emit(by[: cnt * S * bsz].tobytes())
+
+    def drain_one():
+        fetch_futs.append(fetch_pool.submit(fetch, *pending.pop(0)))
+        if len(fetch_futs) >= 3:
+            fetch_futs[-3].result()
 
     n_rsis = 0
     tail_bit = 0
@@ -217,6 +227,7 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
         res = native.scan_blocks(data, ask, max_fs, cfg, wf=wf,
                                  start_bit=tail_bit, arena=arena)
         if res is None:  # no native library: only possible on first slice
+            fetch_pool.shutdown()
             status, out = _decode_cpu_status(data, cfg, out_size)
             if part_sink is not None:
                 part_sink(out)
@@ -244,6 +255,9 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
             break
     while pending:
         drain_one()
+    for f in fetch_futs:
+        f.result()
+    fetch_pool.shutdown()
 
     done_bytes = n_rsis * S * bsz
     res = native.decode_tail(data, tail_bit, out_size - done_bytes, cfg)

@@ -390,18 +390,34 @@ def encode_buffer(data, cfg: Config, backend=None, rsis_per_chunk=None,
         # pipelined device path: full-RSI chunks of RAW stream bytes
         # dispatched without host syncs (k and the bit cursor carried as
         # device scalars); the byte->sample widening runs on device, so
-        # staging moves bsz bytes per sample instead of 4
+        # staging moves bsz bytes per sample instead of 4.  Compressed
+        # bytes are fetched on ONE worker thread (FIFO, so assembly order
+        # is preserved) overlapping D2H with the next chunk's staging and
+        # compute -- through the dev tunnel stage and fetch are ~0.9 s and
+        # ~0.6 s per 32 MiB chunk, so overlap is the e2e bottleneck.
+        from concurrent.futures import ThreadPoolExecutor
+
         def gen_chunks():
             for s in range(0, n_full, rsis_per_chunk):
                 cnt = min(rsis_per_chunk, n_full - s)
                 yield raw[s * S * bsz:(s + cnt) * S * bsz]
 
-        def on_chunk(words, total_bits):
+        def materialise(words, total_bits):
             tb = int(total_bits)
             out.append(words_to_stream_bytes(words, tb), tb)
 
-        k_dev = encode_chunks_jax_pipelined(cfg, gen_chunks(), on_chunk,
-                                            raw_bytes=True)
+        with ThreadPoolExecutor(1) as ex:
+            futs = []
+
+            def on_chunk(words, total_bits):
+                futs.append(ex.submit(materialise, words, total_bits))
+                if len(futs) >= 5:  # bound device-buffer residency
+                    futs[-5].result()
+
+            k_dev = encode_chunks_jax_pipelined(cfg, gen_chunks(), on_chunk,
+                                                raw_bytes=True)
+            for f in futs:
+                f.result()
         run_chunk.k = int(k_dev)
     elif n_full:
         samples = accessors.bytes_to_samples(
