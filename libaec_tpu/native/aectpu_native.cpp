@@ -525,7 +525,8 @@ static void fill_windows(const InputView& in, const uint64_t* fs_off,
 // means arbitrary input must fall back to the exact serial core rather than
 // mis-decode).  Returns false on any rejection; the cursor is then mid-RSI
 // and the caller must restore it.
-static bool scan_one_rsi(BitCursor& bits, const Params& p, BlockRecSink* rec,
+template <class Cursor>
+static bool scan_one_rsi(Cursor& bits, const Params& p, BlockRecSink* rec,
                          int max_fs_bits) {
     const int id_len = p.id_len();
     const unsigned bs = p.block_size;
