@@ -30,6 +30,7 @@ from libaec_tpu.constants import (
     AEC_DATA_MSB,
     AEC_DATA_PREPROCESS,
     AEC_DATA_SIGNED,
+    AEC_NOT_ENFORCE,
     AEC_RESTRICTED,
 )
 
@@ -55,6 +56,8 @@ MATRIX = [
     (24, 64, 16, AEC_DATA_MSB | AEC_DATA_PREPROCESS
      | AEC_DATA_3BYTE, 8),                                  # 3-byte layout
     (2, 8, 16, AEC_RESTRICTED | AEC_DATA_PREPROCESS, 8),    # XLA fallback
+    (16, 10, 32, AEC_DATA_MSB | AEC_DATA_PREPROCESS
+     | AEC_NOT_ENFORCE, 8),                                 # even bs=10
 ]
 
 
