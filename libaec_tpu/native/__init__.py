@@ -11,7 +11,7 @@ import threading
 from pathlib import Path
 
 _HERE = Path(__file__).resolve().parent
-_SRC = _HERE / "aectpu_native.cpp"
+_SRCS = [_HERE / "aectpu_native.cpp", _HERE / "encoder.cpp"]
 _SO = _HERE / "libaectpu.so"
 _lock = threading.Lock()
 _lib = None
@@ -21,7 +21,7 @@ _build_failed = False
 def _build():
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-o", str(_SO), str(_SRC),
+        "-o", str(_SO), *map(str, _SRCS),
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -37,9 +37,17 @@ def get_lib():
         if _lib is not None:
             return _lib
         try:
-            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _SO.exists() or _SO.stat().st_mtime < max(
+                    s.stat().st_mtime for s in _SRCS):
                 _build()
             lib = ctypes.CDLL(str(_SO))
+            lib.aectpu_encode.restype = ctypes.c_int
+            lib.aectpu_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t,      # in
+                ctypes.c_void_p, ctypes.c_size_t,      # out
+                ctypes.POINTER(ctypes.c_size_t),       # out_written
+                ctypes.c_uint, ctypes.c_uint, ctypes.c_uint, ctypes.c_uint,
+            ]
             lib.aectpu_decode.restype = ctypes.c_int
             lib.aectpu_decode.argtypes = [
                 ctypes.c_void_p, ctypes.c_size_t,      # in
@@ -90,6 +98,39 @@ def get_lib():
             _build_failed = True
             return None
     return _lib
+
+
+def encode(data, cfg, out_cap=None):
+    """Native scalar one-shot encode.  Returns (status, bytes) or None if
+    the library is unavailable.  With out_cap given, status is
+    AEC_STREAM_ERROR when the stream exceeds it and the bytes are the
+    first out_cap (aec_buffer_encode capacity semantics)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    # worst case mirrors encode.worst_case_bits_per_block: id + reference
+    # sample + max(uncompressed payload, one 64-bit zero-run FS) per block,
+    # plus per-RSI byte pads and the final flush
+    bsz = cfg.bytes_per_sample
+    n_samples = len(data) // bsz
+    nb = -(-max(n_samples, 1) // cfg.block_size)
+    per_block = cfg.id_len + 1 + cfg.bits_per_sample + max(
+        cfg.block_size * cfg.bits_per_sample, 64)
+    worst = (nb * per_block) // 8 + nb // max(cfg.rsi, 1) + 16
+    cap = worst if out_cap is None else out_cap
+    out = np.empty(max(cap, 1), np.uint8)
+    written = ctypes.c_size_t(0)
+    inview = np.frombuffer(data, np.uint8) if len(data) else \
+        np.empty(1, np.uint8)
+    status = lib.aectpu_encode(
+        inview.ctypes.data_as(ctypes.c_void_p), len(data),
+        out.ctypes.data_as(ctypes.c_void_p), cap, ctypes.byref(written),
+        cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
+    )
+    n = min(written.value, cap)
+    return status, out[:n].tobytes()
 
 
 def decode(data: bytes, out_cap: int, cfg, threads=None, start_bit=0):

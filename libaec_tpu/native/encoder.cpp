@@ -1,0 +1,482 @@
+// Native scalar CCSDS 121.0-B-2 encoder.
+//
+// From-scratch single-pass design (NOT the reference's resumable FSM,
+// /root/reference/src/encode.c:467-754): one forward loop over blocks with
+// a 64-bit accumulator emitter, the option search expressed exactly as the
+// oracle-validated formulations in libaec_tpu/ops/{options,zeroruns,
+// fields,preprocess}.py.  Roles in the TPU framework:
+//   * low-latency encode for small buffers (the device pipeline wins only
+//     once dispatch overhead amortises);
+//   * the encode half of the C-ABI compatibility layer, so non-Python
+//     consumers (HDF5 szip-style filters) get a standalone native codec.
+//
+// Behavioural contracts reproduced (same as the Python pipeline):
+//   option selection precedence  encode.c:585-612 (split<uncomp, uncomp<=se)
+//   warm-started k walk          encode.c:329-410 (see ops/options.py's
+//                                closed-form derivation; scalar walk here)
+//   zero-run/ROS segmentation    encode.c:565-659 (ops/zeroruns.py rules)
+//   Δ-preprocessor               encode.c:235-311 (ops/preprocess.py maps)
+//   field layout                 ops/fields.py (id / ref-sample / FS / LSB)
+//   tail-RSI padding             encode.c:676-685 (repeat last sample)
+//   final zero-bit flush + empty-input flush byte   encode.c:686-696
+//   AEC_PAD_RSI per-RSI byte alignment              encode.c:499-505
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int E_AEC_OK = 0;
+constexpr int E_AEC_CONF_ERROR = -1;
+constexpr int E_AEC_STREAM_ERROR = -2;
+
+constexpr unsigned E_FLAG_SIGNED = 1;
+constexpr unsigned E_FLAG_3BYTE = 2;
+constexpr unsigned E_FLAG_MSB = 4;
+constexpr unsigned E_FLAG_PREPROCESS = 8;
+constexpr unsigned E_FLAG_RESTRICTED = 16;
+constexpr unsigned E_FLAG_PAD_RSI = 32;
+constexpr unsigned E_FLAG_NOT_ENFORCE = 64;
+
+struct EncParams {
+    unsigned bps, bs, rsi, flags;
+
+    int id_len() const {
+        if (bps > 16) return 5;
+        if (bps > 8) return 4;
+        if (flags & E_FLAG_RESTRICTED) return bps <= 2 ? 1 : 2;
+        return 3;
+    }
+    int bytes_per_sample() const {
+        if (bps > 16) return (bps <= 24 && (flags & E_FLAG_3BYTE)) ? 3 : 4;
+        return bps > 8 ? 2 : 1;
+    }
+    uint32_t mask() const {
+        return bps >= 32 ? 0xFFFFFFFFu : ((1u << bps) - 1);
+    }
+    uint32_t xmax() const {
+        if (flags & E_FLAG_SIGNED)
+            return UINT32_MAX >> ((32 - bps + 1) & 31);
+        return UINT32_MAX >> (32 - bps);
+    }
+    uint32_t xmin() const {
+        return (flags & E_FLAG_SIGNED) ? ~xmax() : 0;
+    }
+    int kmax() const { return (1 << id_len()) - 3; }
+    bool pp() const { return flags & E_FLAG_PREPROCESS; }
+};
+
+// MSB-first accumulator emitter with output-capacity accounting: bytes
+// past the capacity are counted but not stored, so the caller learns the
+// full stream size alongside AEC_STREAM_ERROR (aec_buffer_encode's
+// caller-owned next_out/avail_out contract, libaec.h:154-166).
+class Emitter {
+  public:
+    Emitter(uint8_t* out, size_t cap) : out_(out), cap_(cap) {}
+
+    void emit(uint32_t v, int w) {  // w in [0, 32]
+        if (w == 0) return;
+        uint64_t vv = (w == 32) ? v : (v & ((1u << w) - 1));
+        acc_ = (acc_ << w) | vv;
+        nbits_ += w;  // < 64: at most 31 carried + 32 emitted
+        if (nbits_ >= 32) {
+            nbits_ -= 32;
+            put_word((uint32_t)(acc_ >> nbits_));
+        }
+    }
+
+    void emit_fs(uint64_t fs) {  // fs zeros then a 1
+        while (fs >= 32) {
+            emit(0, 32);
+            fs -= 32;
+        }
+        emit(1, (int)fs + 1);
+    }
+
+    void pad_to_byte() {
+        while (nbits_ >= 8) {
+            nbits_ -= 8;
+            put_byte((uint8_t)(acc_ >> nbits_));
+        }
+        if (nbits_) {
+            put_byte((uint8_t)(acc_ << (8 - nbits_)));
+            nbits_ = 0;
+        }
+        acc_ = 0;
+    }
+
+    size_t total_bytes() const { return pos_ + (nbits_ + 7) / 8; }
+    size_t flushed_bytes() const { return pos_; }
+    bool overflow() const { return overflow_; }
+
+  private:
+    void put_byte(uint8_t b) {
+        if (pos_ < cap_)
+            out_[pos_] = b;
+        else
+            overflow_ = true;
+        pos_++;
+    }
+
+    void put_word(uint32_t w) {  // 4 stream bytes, big-endian bit order
+        if (pos_ + 4 <= cap_) {
+#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+            w = __builtin_bswap32(w);
+#endif
+            std::memcpy(out_ + pos_, &w, 4);
+            pos_ += 4;
+        } else {
+            put_byte((uint8_t)(w >> 24));
+            put_byte((uint8_t)(w >> 16));
+            put_byte((uint8_t)(w >> 8));
+            put_byte((uint8_t)w);
+        }
+    }
+
+    uint8_t* out_;
+    size_t cap_;
+    size_t pos_ = 0;
+    uint64_t acc_ = 0;
+    int nbits_ = 0;
+    bool overflow_ = false;
+};
+
+// Byte layout -> u32 samples (ops/accessors.bytes_to_samples semantics).
+static void read_samples(const uint8_t* p, size_t n, int bsz, bool msb,
+                         uint32_t* x) {
+    switch (bsz) {
+        case 1:
+            for (size_t i = 0; i < n; i++) x[i] = p[i];
+            break;
+        case 2:
+            if (msb)
+                for (size_t i = 0; i < n; i++)
+                    x[i] = ((uint32_t)p[2 * i] << 8) | p[2 * i + 1];
+            else
+                for (size_t i = 0; i < n; i++)
+                    x[i] = ((uint32_t)p[2 * i + 1] << 8) | p[2 * i];
+            break;
+        case 3:
+            if (msb)
+                for (size_t i = 0; i < n; i++)
+                    x[i] = ((uint32_t)p[3 * i] << 16) |
+                           ((uint32_t)p[3 * i + 1] << 8) | p[3 * i + 2];
+            else
+                for (size_t i = 0; i < n; i++)
+                    x[i] = ((uint32_t)p[3 * i + 2] << 16) |
+                           ((uint32_t)p[3 * i + 1] << 8) | p[3 * i];
+            break;
+        default:
+            if (msb)
+                for (size_t i = 0; i < n; i++)
+                    x[i] = ((uint32_t)p[4 * i] << 24) |
+                           ((uint32_t)p[4 * i + 1] << 16) |
+                           ((uint32_t)p[4 * i + 2] << 8) | p[4 * i + 3];
+            else
+                for (size_t i = 0; i < n; i++) {
+                    uint32_t v;
+                    std::memcpy(&v, p + 4 * i, 4);
+#if __BYTE_ORDER__ == __ORDER_BIG_ENDIAN__
+                    v = __builtin_bswap32(v);
+#endif
+                    x[i] = v;
+                }
+    }
+}
+
+// Forward Δ-map of one RSI in place (d[0] = 0, reference sample kept by
+// the caller).  Mirrors ops/preprocess.delta_map_{unsigned,signed}:
+// uint32/int32 wraparound arithmetic throughout.
+static void delta_rsi(uint32_t* x, size_t n, const EncParams& p) {
+    if (n == 0) return;
+    if (!(p.flags & E_FLAG_SIGNED)) {
+        const uint32_t xmax = p.xmax();
+        uint32_t prev = x[0];
+        x[0] = 0;
+        for (size_t i = 1; i < n; i++) {
+            uint32_t cur = x[i], d;
+            if (cur >= prev) {
+                uint32_t D = cur - prev;
+                d = (D <= prev) ? 2 * D : cur;
+            } else {
+                uint32_t D = prev - cur;
+                d = (D <= xmax - prev) ? 2 * D - 1 : xmax - cur;
+            }
+            x[i] = d;
+            prev = cur;
+        }
+    } else {
+        const uint32_t m = (1u << (p.bps - 1)) & 0xFFFFFFFFu;
+        const int32_t sxmax = (int32_t)p.xmax();
+        const int32_t sxmin = (int32_t)p.xmin();
+        int32_t prev = (int32_t)((x[0] ^ m) - m);
+        x[0] = 0;
+        for (size_t i = 1; i < n; i++) {
+            int32_t cur = (int32_t)((x[i] ^ m) - m);
+            uint32_t d;
+            if (cur < prev) {
+                uint32_t D = (uint32_t)prev - (uint32_t)cur;
+                d = (D <= (uint32_t)(sxmax - prev))
+                        ? 2 * D - 1
+                        : (uint32_t)(sxmax - cur);
+            } else {
+                uint32_t D = (uint32_t)cur - (uint32_t)prev;
+                d = (D <= (uint32_t)(prev - sxmin))
+                        ? 2 * D
+                        : (uint32_t)(cur - sxmin);
+            }
+            x[i] = d;
+            prev = cur;
+        }
+    }
+}
+
+// One block's encode context.
+struct BlockCtx {
+    const uint32_t* d;  // bs preprocessed samples (d[0]==0 on ref blocks)
+    unsigned bs;
+    bool ref;            // block carries the RSI reference sample
+    uint32_t ref_sample; // raw, pre-masked
+};
+
+// fs_len(k) = sum_i(d_i >> k) over the WHOLE block (ops/options.fs_tables:
+// the reference sums the ref slot too; d[0]==0 there so it is harmless).
+static uint64_t fs_len(const BlockCtx& c, int k) {
+    uint64_t s = 0;
+    for (unsigned i = 0; i < c.bs; i++) s += c.d[i] >> k;
+    return s;
+}
+
+// Warm-started k walk (ops/options.k_walk_maps derivation of
+// encode.c:356-409):
+//   A(k) := k >= kmax || L(k+1) >= L(k)        (ascent stops at k)
+//   C(j) := j > 0 && fs_len(j) < this_bs && L(j-1) < L(j)
+//   k0 == 0 || !A(k0) -> min{k >= k0 : A(k)};
+//   else L(k0-1) < L(k0) ? max{j <= k0-1 : !C(j)} : k0.
+static int walk_k(const BlockCtx& c, uint32_t this_bs, int kmax, int k0,
+                  uint64_t* L_out) {
+    uint64_t Lmemo[34];
+    bool have[34] = {false};
+    // The common case touches L at k0-1, k0, k0+1 (the warm-started walk
+    // usually stays put or moves one step); compute those fs sums in one
+    // pass over the block -- same loads, three accumulators.
+    {
+        int lo = k0 > 0 ? k0 - 1 : 0;
+        uint64_t s0 = 0, s1 = 0, s2 = 0;
+        for (unsigned i = 0; i < c.bs; i++) {
+            uint32_t v = c.d[i] >> lo;
+            s0 += v;
+            s1 += v >> 1;
+            s2 += v >> 2;
+        }
+        Lmemo[lo] = s0 + (uint64_t)this_bs * (lo + 1);
+        Lmemo[lo + 1] = s1 + (uint64_t)this_bs * (lo + 2);
+        Lmemo[lo + 2] = s2 + (uint64_t)this_bs * (lo + 3);
+        have[lo] = have[lo + 1] = have[lo + 2] = true;
+    }
+    auto L = [&](int k) -> uint64_t {
+        if (!have[k]) {
+            Lmemo[k] = fs_len(c, k) + (uint64_t)this_bs * (k + 1);
+            have[k] = true;
+        }
+        return Lmemo[k];
+    };
+    auto A = [&](int k) { return k >= kmax || L(k + 1) >= L(k); };
+
+    int k;
+    if (k0 != 0 && A(k0)) {
+        if (L(k0 - 1) < L(k0)) {
+            int j = k0 - 1;
+            // fs_len(j) recovered from the memoised L(j)
+            while (j > 0 &&
+                   L(j) - (uint64_t)this_bs * (j + 1) < this_bs &&
+                   L(j - 1) < L(j))
+                j--;
+            k = j;
+        } else {
+            k = k0;
+        }
+    } else {
+        k = k0;
+        while (!A(k)) k++;
+    }
+    *L_out = L(k);
+    return k;
+}
+
+// SE comparison length (ops/options.se_lengths): 1 + sum over pairs of
+// (fs + 1) with the oracle-validated smallness gate (u32-wrapping sums or
+// sums >= 128 can never be selected: their fs alone exceeds any
+// uncomp_len <= 2048).
+static uint64_t se_len(const BlockCtx& c, uint64_t uncomp_len) {
+    uint64_t len = 1;
+    for (unsigned i = 0; i < c.bs; i += 2) {
+        uint32_t a = c.d[i], b = c.d[i + 1];
+        uint32_t s = a + b;
+        uint64_t m = (s >= a && s < 128)
+                         ? (uint64_t)s * (s + 1) / 2 + b
+                         : (uint64_t)1 << 20;
+        len += m + 1;
+        if (len > uncomp_len) return UINT32_MAX;
+    }
+    return len;
+}
+
+struct ZeroRun {
+    unsigned count = 0;
+    bool ref = false;
+    uint32_t ref_sample = 0;
+};
+
+static void emit_zero_run(Emitter& em, ZeroRun& z, const EncParams& p,
+                          bool at_seg_end) {
+    // codeword: id 0 in id_len+1 bits, optional reference sample, FS of
+    // 4 (ROS) / count (>=5) / count-1 (1..4)  -- ops/zeroruns.py rules
+    em.emit(0, p.id_len() + 1);
+    if (z.ref) em.emit(z.ref_sample & p.mask(), p.bps);
+    uint64_t fsval;
+    if (at_seg_end && z.count > 4)
+        fsval = 4;  // remainder-of-segment marker
+    else if (z.count >= 5)
+        fsval = z.count;
+    else
+        fsval = z.count - 1;
+    em.emit_fs(fsval);
+    z = ZeroRun{};
+}
+
+static void encode_block(Emitter& em, const BlockCtx& c, const EncParams& p,
+                         int* k_state) {
+    const int id_len = p.id_len();
+    const uint32_t this_bs = c.bs - (c.ref ? 1 : 0);
+    const uint64_t uncomp_len = (uint64_t)this_bs * p.bps;
+    const uint32_t mask = p.mask();
+
+    uint64_t split_len64 = UINT64_MAX;
+    int k = *k_state;
+    if (id_len > 1) {
+        k = walk_k(c, this_bs, p.kmax(), *k_state, &split_len64);
+        *k_state = k;
+    }
+    // the reference compares the u32 truncation (encode.c:409)
+    uint32_t split32 =
+        id_len > 1 ? (uint32_t)split_len64 : 0xFFFFFFFFu;
+    uint64_t se = se_len(c, uncomp_len);
+
+    if (split32 < uncomp_len && split32 < se) {  // splitting, id = k+1
+        em.emit((uint32_t)k + 1, id_len);
+        if (c.ref) em.emit(c.ref_sample & mask, p.bps);
+        for (unsigned i = c.ref ? 1 : 0; i < c.bs; i++)
+            em.emit_fs(c.d[i] >> k);
+        if (k) {
+            const uint32_t km = (1u << k) - 1;
+            for (unsigned i = c.ref ? 1 : 0; i < c.bs; i++)
+                em.emit(c.d[i] & km, k);
+        }
+    } else if (!(split32 < uncomp_len) && uncomp_len <= se) {  // uncomp
+        em.emit((1u << id_len) - 1, id_len);
+        for (unsigned i = 0; i < c.bs; i++) {
+            uint32_t v = (i == 0 && c.ref) ? c.ref_sample : c.d[i];
+            em.emit(v & mask, p.bps);
+        }
+    } else {  // second extension, id 1 in id_len+1 bits
+        em.emit(1, id_len + 1);
+        if (c.ref) em.emit(c.ref_sample & mask, p.bps);
+        for (unsigned i = 0; i < c.bs; i += 2) {
+            uint64_t s = (uint64_t)c.d[i] + c.d[i + 1];
+            em.emit_fs(s * (s + 1) / 2 + c.d[i + 1]);
+        }
+    }
+}
+
+// Encode one RSI's worth of preprocessed samples (nb whole blocks).
+static void encode_rsi(Emitter& em, uint32_t* d, unsigned nb,
+                       uint32_t ref_sample, const EncParams& p,
+                       int* k_state) {
+    const unsigned bs = p.bs;
+    ZeroRun z;
+    for (unsigned b = 0; b < nb; b++) {
+        const uint32_t* db = d + (size_t)b * bs;
+        bool ref = p.pp() && b == 0;
+        bool zero = true;
+        for (unsigned i = 0; i < bs; i++)
+            if (db[i]) {
+                zero = false;
+                break;
+            }
+        if (zero) {
+            if (z.count == 0 && ref) {
+                z.ref = true;
+                z.ref_sample = ref_sample;
+            }
+            z.count++;
+            if (b % 64 == 63 || b == nb - 1)
+                emit_zero_run(em, z, p, /*at_seg_end=*/true);
+            continue;
+        }
+        if (z.count) emit_zero_run(em, z, p, /*at_seg_end=*/false);
+        BlockCtx c{db, bs, ref, ref_sample};
+        encode_block(em, c, p, k_state);
+    }
+    if (p.flags & E_FLAG_PAD_RSI) em.pad_to_byte();
+}
+
+}  // namespace
+
+extern "C" {
+
+// One-shot native encode (aec_buffer_encode semantics): trailing bytes
+// short of a whole sample are ignored; a trailing partial RSI is padded
+// by repeating the last sample.  Returns AEC_OK, or AEC_STREAM_ERROR when
+// the stream does not fit out_cap (out gets the first out_cap bytes;
+// *out_written reports the FULL stream size either way).
+int aectpu_encode(const uint8_t* in, size_t in_len, uint8_t* out,
+                  size_t out_cap, size_t* out_written, unsigned bps,
+                  unsigned bs, unsigned rsi, unsigned flags) {
+    EncParams p{bps, bs, rsi, flags};
+    if (bps == 0 || bps > 32) return E_AEC_CONF_ERROR;
+    if (rsi == 0 || rsi > 4096) return E_AEC_CONF_ERROR;
+    if (flags & E_FLAG_NOT_ENFORCE) {
+        if (bs == 0 || bs & 1) return E_AEC_CONF_ERROR;
+    } else if (bs != 8 && bs != 16 && bs != 32 && bs != 64) {
+        return E_AEC_CONF_ERROR;
+    }
+    if ((flags & E_FLAG_RESTRICTED) && bps > 4) return E_AEC_CONF_ERROR;
+
+    const int bsz = p.bytes_per_sample();
+    const bool msb = flags & E_FLAG_MSB;
+    const size_t S = (size_t)rsi * bs;
+    const size_t n_samples = in_len / bsz;
+
+    Emitter em(out, out_cap);
+    if (n_samples == 0) {
+        // the reference still flushes one zero byte on an empty stream
+        em.emit(0, 8);
+        em.pad_to_byte();
+        *out_written = em.total_bytes();
+        return em.overflow() ? E_AEC_STREAM_ERROR : E_AEC_OK;
+    }
+
+    std::vector<uint32_t> x(S);
+    int k_state = 0;
+    size_t done = 0;
+    while (done < n_samples) {
+        size_t take = n_samples - done < S ? n_samples - done : S;
+        read_samples(in + done * (size_t)bsz, take, bsz, msb, x.data());
+        // partial trailing RSI: whole blocks, repeating the last sample
+        unsigned nb = (unsigned)((take + bs - 1) / bs);
+        size_t padded = (size_t)nb * bs;
+        for (size_t i = take; i < padded; i++) x[i] = x[take - 1];
+        uint32_t ref_sample = x[0];
+        if (p.pp())
+            delta_rsi(x.data(), padded, p);
+        encode_rsi(em, x.data(), nb, ref_sample, p, &k_state);
+        done += take;
+    }
+    em.pad_to_byte();  // final zero-bit padding (encode.c:686-688)
+    *out_written = em.total_bytes();
+    return em.overflow() ? E_AEC_STREAM_ERROR : E_AEC_OK;
+}
+
+}  // extern "C"

@@ -1,0 +1,89 @@
+"""Native scalar encoder (native/encoder.cpp) vs the oracle-validated
+numpy pipeline: bit-exact across the flag/width matrix, capacity
+semantics, and the default small-buffer routing."""
+import numpy as np
+import pytest
+
+import gen
+from libaec_tpu import Config, native
+from libaec_tpu.backend import NUMPY
+from libaec_tpu.constants import (
+    AEC_DATA_3BYTE,
+    AEC_DATA_MSB,
+    AEC_DATA_PREPROCESS,
+    AEC_DATA_SIGNED,
+    AEC_NOT_ENFORCE,
+    AEC_PAD_RSI,
+    AEC_RESTRICTED,
+    AEC_STREAM_ERROR,
+)
+from libaec_tpu.encode import encode_buffer
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="native library unavailable")
+
+CASES = [
+    (16, 64, 256, AEC_DATA_MSB | AEC_DATA_PREPROCESS),
+    (8, 16, 32, AEC_DATA_PREPROCESS),
+    (8, 8, 2, 0),
+    (13, 32, 16, AEC_DATA_SIGNED | AEC_DATA_PREPROCESS),
+    (32, 64, 8, AEC_DATA_MSB | AEC_DATA_PREPROCESS),
+    (24, 64, 16, AEC_DATA_MSB | AEC_DATA_PREPROCESS | AEC_DATA_3BYTE),
+    (2, 8, 16, AEC_RESTRICTED | AEC_DATA_PREPROCESS),
+    (4, 16, 8, AEC_RESTRICTED | AEC_DATA_PREPROCESS),
+    (1, 8, 4, AEC_DATA_SIGNED | AEC_DATA_PREPROCESS),
+    (16, 64, 32, AEC_DATA_MSB | AEC_DATA_PREPROCESS | AEC_PAD_RSI),
+    (16, 10, 32, AEC_DATA_MSB | AEC_DATA_PREPROCESS | AEC_NOT_ENFORCE),
+]
+
+
+def _data(cfg, kind, n, rng):
+    if kind == "zeros":
+        vals = np.zeros(n, np.uint32)
+        vals[::701] = 5
+    elif kind == "jump":
+        vals = np.zeros(n, np.uint32)
+        vals[n // 2:] = (1 << cfg.bits_per_sample) - 1
+    else:
+        vals = gen.gen_values(rng, n, cfg.bits_per_sample, cfg.signed, kind)
+    return gen.pack_samples(vals, cfg.bits_per_sample, cfg.flags)
+
+
+@pytest.mark.parametrize("bps,bs,rsi,flags", CASES)
+def test_native_matches_numpy_oracle(bps, bs, rsi, flags):
+    cfg = Config(bps, bs, rsi, flags)
+    rng = np.random.default_rng(bps * 37 + bs + flags)
+    for kind in ("midentropy", "lowentropy", "zeros", "jump"):
+        for n_rsi_f in (3.0, 1.37):  # whole and partial trailing RSI
+            n = int(n_rsi_f * cfg.samples_per_rsi)
+            raw = _data(cfg, kind, n, rng)
+            want = encode_buffer(raw, cfg, backend=NUMPY)
+            st, got = native.encode(raw, cfg)
+            assert st == 0 and got == want, (kind, n_rsi_f)
+
+
+def test_native_empty_and_capacity():
+    cfg = Config(16, 64, 256, AEC_DATA_MSB | AEC_DATA_PREPROCESS)
+    st, got = native.encode(b"", cfg)
+    assert st == 0 and got == encode_buffer(b"", cfg, backend=NUMPY)
+
+    rng = np.random.default_rng(0)
+    raw = _data(cfg, "midentropy", 2 * cfg.samples_per_rsi, rng)
+    full = encode_buffer(raw, cfg, backend=NUMPY)
+    st, got = native.encode(raw, cfg, out_cap=len(full) // 2)
+    assert st == AEC_STREAM_ERROR and got == full[: len(full) // 2]
+    st, got = native.encode(raw, cfg, out_cap=len(full))
+    assert st == 0 and got == full
+
+
+def test_default_route_uses_native_small(monkeypatch):
+    """encode_buffer with backend=None routes small buffers through the
+    native encoder; the result must equal the numpy oracle regardless."""
+    cfg = Config(16, 64, 64, AEC_DATA_MSB | AEC_DATA_PREPROCESS)
+    rng = np.random.default_rng(4)
+    raw = _data(cfg, "midentropy", 3 * cfg.samples_per_rsi + 100, rng)
+    want = encode_buffer(raw, cfg, backend=NUMPY)
+    monkeypatch.setenv("LIBAEC_TPU_ENCODE", "native")
+    assert encode_buffer(raw, cfg) == want
+    monkeypatch.setenv("LIBAEC_TPU_ENCODE", "auto")
+    assert encode_buffer(raw, cfg) == want
