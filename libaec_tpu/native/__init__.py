@@ -11,7 +11,8 @@ import threading
 from pathlib import Path
 
 _HERE = Path(__file__).resolve().parent
-_SRCS = [_HERE / "aectpu_native.cpp", _HERE / "encoder.cpp"]
+_SRCS = [_HERE / "aectpu_native.cpp", _HERE / "encoder.cpp",
+         _HERE / "libaec_abi.cpp"]
 _SO = _HERE / "libaectpu.so"
 _lock = threading.Lock()
 _lib = None

@@ -110,6 +110,11 @@ class Emitter {
     size_t flushed_bytes() const { return pos_; }
     bool overflow() const { return overflow_; }
 
+    // bit-carry transfer between per-chunk emitters (streaming sessions)
+    uint64_t carry_acc() const { return acc_; }
+    int carry_bits() const { return nbits_; }
+    void set_carry(uint64_t a, int n) { acc_ = a; nbits_ = n; }
+
   private:
     void put_byte(uint8_t b) {
         if (pos_ < cap_)
@@ -422,9 +427,140 @@ static void encode_rsi(Emitter& em, uint32_t* d, unsigned nb,
     if (p.flags & E_FLAG_PAD_RSI) em.pad_to_byte();
 }
 
+static bool params_valid(const EncParams& p) {
+    if (p.bps == 0 || p.bps > 32) return false;
+    if (p.rsi == 0 || p.rsi > 4096) return false;
+    if (p.flags & E_FLAG_NOT_ENFORCE) {
+        if (p.bs == 0 || (p.bs & 1)) return false;
+    } else if (p.bs != 8 && p.bs != 16 && p.bs != 32 && p.bs != 64) {
+        return false;
+    }
+    if ((p.flags & E_FLAG_RESTRICTED) && p.bps > 4) return false;
+    return true;
+}
+
+// Upper bound on one RSI's emitted bytes (mirror of
+// encode.worst_case_bits_per_block plus pad slack).
+static size_t worst_rsi_bytes(const EncParams& p) {
+    size_t per_block = p.id_len() + 1 + p.bps +
+                       ((size_t)p.bs * p.bps > 64 ? (size_t)p.bs * p.bps
+                                                  : 64);
+    return (p.rsi * per_block) / 8 + 16;
+}
+
+// Streaming encode session: whole RSIs are fed incrementally; the k
+// warm-start and the bit-cursor remainder carry across feeds, so the
+// concatenated output is byte-identical to a one-shot encode of the same
+// bytes (the chunk-equivalence contract the Python host layer and the
+// C-ABI streaming API are built on).
+struct EncSession {
+    EncParams p;
+    int k_state = 0;
+    uint64_t acc = 0;
+    int nbits = 0;
+    bool any = false;     // any samples fed
+    bool done = false;    // finish() ran
+    std::vector<uint8_t> out;
+    size_t drained = 0;
+    std::vector<uint32_t> x;  // one RSI of widened samples
+};
+
+// Encode `nb` whole blocks of widened samples already in s->x.
+static void session_encode_blocks(EncSession* s, unsigned nb) {
+    size_t base = s->out.size();
+    size_t worst = worst_rsi_bytes(s->p);
+    s->out.resize(base + worst);
+    Emitter em(s->out.data() + base, worst);
+    em.set_carry(s->acc, s->nbits);
+    uint32_t ref_sample = s->x[0];
+    if (s->p.pp()) delta_rsi(s->x.data(), (size_t)nb * s->p.bs, s->p);
+    encode_rsi(em, s->x.data(), nb, ref_sample, s->p, &s->k_state);
+    s->acc = em.carry_acc();
+    s->nbits = em.carry_bits();
+    s->out.resize(base + em.flushed_bytes());
+}
+
 }  // namespace
 
 extern "C" {
+
+// ---- streaming encode session (C-ABI aec_encode / host streaming) ------
+
+void* aectpu_enc_new(unsigned bps, unsigned bs, unsigned rsi,
+                     unsigned flags) {
+    EncParams p{bps, bs, rsi, flags};
+    if (!params_valid(p)) return nullptr;
+    EncSession* s = new EncSession;
+    s->p = p;
+    s->x.resize((size_t)rsi * bs);
+    return s;
+}
+
+// Feed n_rsis whole RSIs of raw sample bytes.
+int aectpu_enc_feed(void* sess, const uint8_t* in, size_t n_rsis) {
+    EncSession* s = (EncSession*)sess;
+    const size_t S = (size_t)s->p.rsi * s->p.bs;
+    const int bsz = s->p.bytes_per_sample();
+    for (size_t r = 0; r < n_rsis; r++) {
+        read_samples(in + r * S * bsz, S, bsz, s->p.flags & E_FLAG_MSB,
+                     s->x.data());
+        s->any = true;
+        session_encode_blocks(s, s->p.rsi);
+    }
+    return E_AEC_OK;
+}
+
+// Final (possibly partial) RSI + flush: tail_samples < rsi*block_size
+// sample's worth of bytes; repeat-last-sample padding + zero-bit flush.
+int aectpu_enc_finish(void* sess, const uint8_t* tail,
+                      size_t tail_samples) {
+    EncSession* s = (EncSession*)sess;
+    if (s->done) return E_AEC_OK;
+    const int bsz = s->p.bytes_per_sample();
+    if (tail_samples) {
+        read_samples(tail, tail_samples, bsz, s->p.flags & E_FLAG_MSB,
+                     s->x.data());
+        unsigned nb = (unsigned)((tail_samples + s->p.bs - 1) / s->p.bs);
+        size_t padded = (size_t)nb * s->p.bs;
+        for (size_t i = tail_samples; i < padded; i++)
+            s->x[i] = s->x[tail_samples - 1];
+        s->any = true;
+        session_encode_blocks(s, nb);
+    }
+    // final flush: pad the last byte with zero bits; an empty stream
+    // still flushes one zero byte
+    size_t base = s->out.size();
+    s->out.resize(base + 16);
+    Emitter em(s->out.data() + base, 16);
+    em.set_carry(s->acc, s->nbits);
+    if (!s->any && s->nbits == 0 && base == 0) em.emit(0, 8);
+    em.pad_to_byte();
+    s->acc = 0;
+    s->nbits = 0;
+    s->out.resize(base + em.flushed_bytes());
+    s->done = true;
+    return E_AEC_OK;
+}
+
+size_t aectpu_enc_pending(void* sess) {
+    EncSession* s = (EncSession*)sess;
+    return s->out.size() - s->drained;
+}
+
+size_t aectpu_enc_read(void* sess, uint8_t* out, size_t cap) {
+    EncSession* s = (EncSession*)sess;
+    size_t n = s->out.size() - s->drained;
+    if (n > cap) n = cap;
+    std::memcpy(out, s->out.data() + s->drained, n);
+    s->drained += n;
+    if (s->drained == s->out.size() && s->drained > (1u << 20)) {
+        s->out.clear();
+        s->drained = 0;
+    }
+    return n;
+}
+
+void aectpu_enc_free(void* sess) { delete (EncSession*)sess; }
 
 // One-shot native encode (aec_buffer_encode semantics): trailing bytes
 // short of a whole sample are ignored; a trailing partial RSI is padded
@@ -435,14 +571,7 @@ int aectpu_encode(const uint8_t* in, size_t in_len, uint8_t* out,
                   size_t out_cap, size_t* out_written, unsigned bps,
                   unsigned bs, unsigned rsi, unsigned flags) {
     EncParams p{bps, bs, rsi, flags};
-    if (bps == 0 || bps > 32) return E_AEC_CONF_ERROR;
-    if (rsi == 0 || rsi > 4096) return E_AEC_CONF_ERROR;
-    if (flags & E_FLAG_NOT_ENFORCE) {
-        if (bs == 0 || bs & 1) return E_AEC_CONF_ERROR;
-    } else if (bs != 8 && bs != 16 && bs != 32 && bs != 64) {
-        return E_AEC_CONF_ERROR;
-    }
-    if ((flags & E_FLAG_RESTRICTED) && bps > 4) return E_AEC_CONF_ERROR;
+    if (!params_valid(p)) return E_AEC_CONF_ERROR;
 
     const int bsz = p.bytes_per_sample();
     const bool msb = flags & E_FLAG_MSB;
