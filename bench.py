@@ -27,6 +27,9 @@ Reported numbers (all in the ONE JSON line):
   decode_e2e              decode_buffer_tpu() wall time including the scan,
                           record staging and output fetch.
   decode_cpu              the pure-CPU two-phase threaded decoder.
+  encode_cpu              the native scalar encoder (C-ABI/small-buffer
+                          path), bit-exactness asserted vs the device
+                          stream.
 
 On this development setup the e2e numbers are bounded by the axon tunnel
 (~40 MiB/s H2D, ~30 MiB/s D2H, ~70 ms/sync -- see docs/DESIGN.md); on a
@@ -281,6 +284,15 @@ def main():
     dec_cpu = len(chunk_raw) / (1 << 20) / (time.time() - t0)
     assert st == 0 and out == chunk_raw, "cpu decode verify failed"
 
+    # native scalar encoder (the C-ABI / small-buffer path)
+    enc_cpu = 0.0
+    for _rep in range(3):
+        t0 = time.time()
+        st, ncomp = native.encode(chunk_raw, CFG)
+        enc_cpu = max(enc_cpu,
+                      len(chunk_raw) / (1 << 20) / (time.time() - t0))
+    assert st == 0 and ncomp == comp, "native encode verify failed"
+
     result = {
         "metric": "encode_throughput",
         "value": round(enc_kernel, 1),
@@ -295,6 +307,7 @@ def main():
         "decode_stream": round(dec_stream, 1),
         "decode_e2e": round(dec_e2e, 1),
         "decode_cpu": round(dec_cpu, 1),
+        "encode_cpu": round(enc_cpu, 1),
     }
     print(json.dumps(result))
     ratio = len(comp) / len(chunk_raw)
