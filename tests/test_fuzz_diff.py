@@ -1,0 +1,178 @@
+"""Seeded differential fuzz: random configs x random data shapes against
+the reference library (oracle ctypes build), on both directions:
+
+  * encode: our default route (native scalar / numpy) must produce the
+    reference's exact bytes;
+  * decode: our decoder on those bytes must match the reference decoder's
+    (status, bytes), including truncated streams and raw garbage input.
+
+Bounded by default (LIBAEC_FUZZ_CASES raises it for long soak runs via
+`python -m pytest tests/test_fuzz_diff.py`)."""
+import os
+
+import numpy as np
+import pytest
+
+import gen
+from libaec_tpu import Config, native
+from libaec_tpu.constants import (
+    AEC_DATA_3BYTE,
+    AEC_DATA_MSB,
+    AEC_DATA_PREPROCESS,
+    AEC_DATA_SIGNED,
+    AEC_NOT_ENFORCE,
+    AEC_RESTRICTED,
+)
+from libaec_tpu.decode import decode_buffer_status
+from libaec_tpu.encode import encode_buffer
+
+pytestmark = [pytest.mark.oracle,
+              pytest.mark.skipif(native.get_lib() is None,
+                                 reason="native library unavailable")]
+
+N_CASES = int(os.environ.get("LIBAEC_FUZZ_CASES", "150"))
+
+
+def _random_config(rng):
+    bps = int(rng.integers(1, 33))
+    flags = 0
+    if rng.random() < 0.5:
+        flags |= AEC_DATA_PREPROCESS
+    if rng.random() < 0.3:
+        flags |= AEC_DATA_SIGNED
+    if bps <= 4 and rng.random() < 0.25:
+        flags |= AEC_RESTRICTED
+    if 16 < bps <= 24 and rng.random() < 0.5:
+        flags |= AEC_DATA_3BYTE
+    if rng.random() < 0.15:
+        flags |= AEC_NOT_ENFORCE
+        bs = int(rng.choice([6, 10, 12, 20, 34, 50]))
+    else:
+        bs = int(rng.choice([8, 16, 32, 64]))
+    if bps > 8 and rng.random() < 0.7:
+        flags |= AEC_DATA_MSB
+    rsi = int(rng.choice([1, 2, 4, 9, 16, 33, 64]))
+    return Config(bps, bs, rsi, flags)
+
+
+def _random_data(rng, cfg):
+    kind = rng.integers(0, 6)
+    S = cfg.samples_per_rsi
+    # lengths cover sub-block, partial-RSI, multi-RSI and unaligned bytes
+    n = int(rng.choice([1, 3, cfg.block_size,
+                        S // 2 + 1, S, 2 * S + 17, 5 * S]))
+    hi = (1 << cfg.bits_per_sample) - 1
+    if kind == 0:
+        vals = rng.integers(0, hi + 1, n, dtype=np.uint64)
+    elif kind == 1:
+        vals = gen.gen_values(rng, n, cfg.bits_per_sample, cfg.signed,
+                              "lowentropy").astype(np.uint64)
+    elif kind == 2:
+        vals = np.zeros(n, np.uint64)
+        if n > 4:
+            vals[rng.integers(0, n, 3)] = rng.integers(0, hi + 1, 3)
+    elif kind == 3:
+        vals = np.full(n, rng.integers(0, hi + 1), np.uint64)
+    elif kind == 4:
+        vals = (np.arange(n, dtype=np.uint64) * 7) & hi
+    else:
+        vals = np.where(np.arange(n) % (2 * cfg.block_size) < cfg.block_size,
+                        0, hi).astype(np.uint64)
+    raw = gen.pack_samples(vals.astype(np.uint32), cfg.bits_per_sample,
+                           cfg.flags)
+    if rng.random() < 0.2 and len(raw) > 1:
+        raw = raw[: len(raw) - int(rng.integers(1, cfg.bytes_per_sample + 1))]
+    return raw
+
+
+def _assert_decode_parity(st, out, st_ref, out_ref, ctx):
+    """Status must match exactly.  On success the bytes must too.  On
+    error returns the reference's total_out is inflated: aec_decode adds
+    avail_out to total_out at entry and only subtracts the remainder on
+    the SUCCESS path (decode.c:810-813,828-829 -- the AEC_DATA_ERROR /
+    AEC_MEM_ERROR returns skip the correction), so the oracle's 'output'
+    trails off into its caller's untouched (zero-initialised) buffer.
+    Parity check: our bytes are exactly what the reference flushed
+    (prefix), and the reference reports nothing beyond them but the
+    untouched zeros."""
+    assert st == st_ref, ctx
+    if st == 0:
+        assert out == out_ref, ctx
+    else:
+        assert out == out_ref[: len(out)], ctx
+        assert not any(out_ref[len(out):]), ctx
+
+
+def test_fuzz_encode_decode_vs_reference(oracle_mod):
+    rng = np.random.default_rng(20260820)
+    for case in range(N_CASES):
+        cfg = _random_config(rng)
+        raw = _random_data(rng, cfg)
+
+        st_ref, comp_ref = oracle_mod.encode(
+            raw, cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags)
+        comp = encode_buffer(raw, cfg)
+        assert (st_ref, comp_ref) == (0, comp), \
+            f"case {case}: encode diverges for {cfg}, len {len(raw)}"
+
+        out_size = (len(raw) // cfg.bytes_per_sample) * cfg.bytes_per_sample
+        st_ref, out_ref = oracle_mod.decode(
+            comp, cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
+            out_size)
+        st, out = decode_buffer_status(comp, cfg, out_size)
+        _assert_decode_parity(st, out, st_ref, out_ref,
+                              f"case {case}: decode diverges for {cfg}")
+
+        # truncated stream: reference truncation semantics must hold
+        if len(comp) > 2:
+            cut = int(rng.integers(1, len(comp)))
+            st_ref, out_ref = oracle_mod.decode(
+                comp[:cut], cfg.bits_per_sample, cfg.block_size, cfg.rsi,
+                cfg.flags, out_size)
+            st, out = decode_buffer_status(comp[:cut], cfg, out_size)
+            _assert_decode_parity(
+                st, out, st_ref, out_ref,
+                f"case {case}: truncated decode diverges for {cfg} cut={cut}")
+
+
+def test_fuzz_garbage_decode_robustness(oracle_mod):
+    """Raw garbage input: 'no checking whatsoever' (decode.c:224-227).
+
+    Byte/error-code parity with the reference on garbage is NOT a
+    well-defined target -- its garbage paths are undefined behaviour it
+    survives by luck, in three distinct ways this fuzzer surfaced:
+
+      * the BUFFERSPACE fast paths bound input reads by in_blklen, which
+        only holds for CONFORMING blocks: garbage FS runs make
+        direct_get/direct_get_fs read past avail_in into whatever memory
+        follows the buffer (decode.c:222-340), so the reference's walk
+        literally depends on heap contents;
+      * m_se indexes se_table far out of bounds for large FS codes
+        (decode.c:569-580);
+      * m_zero_block's slow path (m_zero_output) skips the RSI-overrun
+        check and put_samples past rsi_buffer (decode.c:504-544).
+
+    Our cursors treat past-the-end bits as zeros and every fill is
+    clamped, so the implementations can only agree by accident once any
+    of those paths is hit.  (Parity on conforming streams INCLUDING
+    truncations is exact and covered by the test above -- truncating a
+    conforming stream never triggers the fast-path overread because
+    BUFFERSPACE guarantees in_blklen bytes remain.)  What is verified
+    here is our own contract: never crash, never read or write out of
+    bounds, return a valid AEC status, produce deterministic output, and
+    the reference oracle survives the same input (it is run purely to
+    confirm the cases are executable at all)."""
+    rng = np.random.default_rng(777)
+    for case in range(max(N_CASES // 3, 20)):
+        cfg = _random_config(rng)
+        garbage = rng.integers(0, 256, int(rng.integers(1, 4096)),
+                               dtype=np.uint8).tobytes()
+        out_size = int(rng.integers(1, 4 * cfg.rsi_len_bytes))
+        oracle_mod.decode(garbage, cfg.bits_per_sample, cfg.block_size,
+                          cfg.rsi, cfg.flags, out_size)
+        st, out = decode_buffer_status(garbage, cfg, out_size)
+        ctx = f"case {case}: {cfg}"
+        assert st in (0, -3, -4), (ctx, st)
+        assert len(out) <= out_size, ctx
+        st2, out2 = decode_buffer_status(garbage, cfg, out_size)
+        assert (st2, out2) == (st, out), ctx
