@@ -338,8 +338,28 @@ def decode_buffers_tpu(datas, cfg: Config, out_sizes, scan_threads=None,
     if scan_threads is None:
         scan_threads = min(max(1, (os.cpu_count() or 2) - 1), 8, n)
     results = [None] * n
-    with ThreadPoolExecutor(scan_threads) as pool:
+
+    def finish_stream(i, pending, tail_bit, n_rsis):
+        """Fetch stream i's device outputs and decode its serial tail
+        (runs on the single fetch worker, so streams finish in order
+        while the main thread keeps dispatching later streams)."""
+        parts = []
+        for dev_out, cnt in pending:
+            by = np.asarray(dev_out).ravel().view(np.uint8)
+            parts.append(by[: cnt * S * bsz].tobytes())
+        done = n_rsis * S * bsz
+        res = native.decode_tail(datas[i], tail_bit, out_sizes[i] - done,
+                                 cfg)
+        if res is None:
+            results[i] = _decode_cpu_status(datas[i], cfg, out_sizes[i])
+            return
+        status, tail = res
+        results[i] = (status, b"".join(parts) + tail)
+
+    with ThreadPoolExecutor(scan_threads) as pool, \
+            ThreadPoolExecutor(1) as fetcher:
         futures = [pool.submit(scan_stream, i) for i in range(n)]
+        fetch_futs = []
         for i, fut in enumerate(futures):
             res = fut.result()
             if res is None:  # native library unavailable
@@ -360,19 +380,13 @@ def decode_buffers_tpu(datas, cfg: Config, out_sizes, scan_threads=None,
                     chunk_arrs.append(a)
                 fn = _jax_decode_fn(cfg, cpad)
                 pending.append((fn(*chunk_arrs), cnt))
-            parts = []
-            for dev_out, cnt in pending:
-                by = np.asarray(dev_out).ravel().view(np.uint8)
-                parts.append(by[: cnt * S * bsz].tobytes())
-            done = n_rsis * S * bsz
-            res = native.decode_tail(datas[i], tail_bit,
-                                     out_sizes[i] - done, cfg)
-            if res is None:
-                results[i] = _decode_cpu_status(datas[i], cfg,
-                                                out_sizes[i])
-                continue
-            status, tail = res
-            results[i] = (status, b"".join(parts) + tail)
+            fetch_futs.append(
+                fetcher.submit(finish_stream, i, pending, tail_bit,
+                               n_rsis))
+            if len(fetch_futs) >= 4:  # bound in-flight device outputs
+                fetch_futs[-4].result()
+        for f in fetch_futs:
+            f.result()
     return results
 
 
