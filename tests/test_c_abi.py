@@ -177,6 +177,72 @@ def test_streaming_decode_chunked_equals_oneshot():
     assert bytes(out) == want
 
 
+def test_streaming_one_byte_torture():
+    """1-byte-in / 1-byte-out through the C ABI (the reference's
+    encode_decode_small regime, tests/check_aec.c:59-200): every call
+    moves at most one byte each way; output must equal the one-shot."""
+    lib = _lib()
+    cfg = Config(8, 8, 4, AEC_DATA_PREPROCESS)
+    raw = _data(cfg, 3 * cfg.samples_per_rsi + 5, seed=9)
+    want = encode_buffer(raw, cfg, backend=NUMPY)
+
+    s = AecStream()
+    s.bits_per_sample, s.block_size, s.rsi, s.flags = (
+        cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags)
+    assert lib.aec_encode_init(ctypes.byref(s)) == AEC_OK
+    out = bytearray()
+    outb = ctypes.create_string_buffer(1)
+    for i in range(len(raw)):
+        chunk = ctypes.create_string_buffer(raw[i:i + 1], 1)
+        s.next_in = ctypes.cast(chunk, ctypes.c_void_p)
+        s.avail_in = 1
+        s.next_out = ctypes.cast(outb, ctypes.c_void_p)
+        s.avail_out = 1
+        assert lib.aec_encode(ctypes.byref(s), AEC_NO_FLUSH) == AEC_OK
+        if s.avail_out == 0:
+            out += outb.raw[:1]
+    while True:
+        s.next_in = None
+        s.avail_in = 0
+        s.next_out = ctypes.cast(outb, ctypes.c_void_p)
+        s.avail_out = 1
+        assert lib.aec_encode(ctypes.byref(s), AEC_FLUSH) == AEC_OK
+        if s.avail_out:
+            break
+        out += outb.raw[:1]
+    assert lib.aec_encode_end(ctypes.byref(s)) == AEC_OK
+    assert bytes(out) == want
+
+    # decode side, same regime
+    st_ref, want_out = native.decode(want, len(raw) + 8, cfg)
+    assert st_ref == AEC_OK
+    d = AecStream()
+    d.bits_per_sample, d.block_size, d.rsi, d.flags = (
+        cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags)
+    assert lib.aec_decode_init(ctypes.byref(d)) == AEC_OK
+    dec = bytearray()
+    for i in range(len(want)):
+        chunk = ctypes.create_string_buffer(want[i:i + 1], 1)
+        d.next_in = ctypes.cast(chunk, ctypes.c_void_p)
+        d.avail_in = 1
+        d.next_out = ctypes.cast(outb, ctypes.c_void_p)
+        d.avail_out = 1
+        assert lib.aec_decode(ctypes.byref(d), AEC_NO_FLUSH) == AEC_OK
+        if d.avail_out == 0:
+            dec += outb.raw[:1]
+    while True:
+        d.next_in = None
+        d.avail_in = 0
+        d.next_out = ctypes.cast(outb, ctypes.c_void_p)
+        d.avail_out = 1
+        lib.aec_decode(ctypes.byref(d), AEC_FLUSH)
+        if d.avail_out:
+            break
+        dec += outb.raw[:1]
+    assert lib.aec_decode_end(ctypes.byref(d)) == AEC_OK
+    assert bytes(dec) == want_out
+
+
 def test_c_consumer_compiles_and_runs(tmp_path):
     """A real C program linking libaectpu.so through libaec_compat.h."""
     import shutil
