@@ -81,14 +81,21 @@ def _slope_time(make_loop, n):
     loop_n, loop_3n = make_loop(n), make_loop(3 * n)
     np.asarray(loop_n())  # compile + warm
     np.asarray(loop_3n())
-    best = float("inf")
+    tn = t3n = float("inf")
     for _rep in range(3):
         t0 = time.time()
         np.asarray(loop_n())
-        t1 = time.time()
+        tn = min(tn, time.time() - t0)
+        t0 = time.time()
         np.asarray(loop_3n())
-        best = min(best, (time.time() - t1) - (t1 - t0))
-    return best / (2 * n)
+        t3n = min(t3n, time.time() - t0)
+    # min PER ARM, not min of paired differences: one contended tn rep
+    # must not drive the slope negative.  If noise still inverts the
+    # arms, fall back to the 3n arm including its constant -- an
+    # UNDERestimate of throughput, never an inflated one.
+    if t3n <= tn:
+        return t3n / (3 * n)
+    return (t3n - tn) / (2 * n)
 
 
 def bench_encode_kernel(chunk_u32, n_chunks, expect):
@@ -240,12 +247,14 @@ def bench_decode_device(comp, raw):
     loop_n, loop_3n = make_loop(8), make_loop(24)
     np.asarray(loop_n())
     np.asarray(loop_3n())
-    best = float("inf")
+    tn = t3n = float("inf")
     for _rep in range(3):
-        tn = pipelined(8, loop_n)
-        t3n = pipelined(24, loop_3n)
-        best = min(best, (t3n - tn) / 16)
-    return mib / per_iter, mib / t_scan, mib / best
+        tn = min(tn, pipelined(8, loop_n))
+        t3n = min(t3n, pipelined(24, loop_3n))
+    # min per arm (see _slope_time); noise-inverted arms fall back to the
+    # constant-including underestimate
+    per_pipe = t3n / 24 if t3n <= tn else (t3n - tn) / 16
+    return mib / per_iter, mib / t_scan, mib / per_pipe
 
 
 def main():
