@@ -169,7 +169,10 @@ def _decompress_plan(param: SZCom, out_size):
     where postprocess(raw decode bytes) -> final pixel bytes (scanline
     unpadding + byte-plane deinterleave, sz_compat.c:209-250)."""
     block_size, rsi = _stream_params(param)
-    flags = _convert_options(param.options_mask)
+    # AEC_NOT_ENFORCE on the decode side too (sz_compat.c:125-128 applies
+    # it to both directions): SZ block sizes are any even value <= 32, not
+    # just the CCSDS set -- found by the SZ fuzz tier with ppb=2/10
+    flags = AEC_NOT_ENFORCE | _convert_options(param.options_mask)
 
     deinterleave = param.bits_per_pixel in (32, 64)
     pad_scanline = param.pixels_per_scanline % param.pixels_per_block

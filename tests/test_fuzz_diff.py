@@ -135,6 +135,84 @@ def test_fuzz_encode_decode_vs_reference(oracle_mod):
                 f"case {case}: truncated decode diverges for {cfg} cut={cut}")
 
 
+def test_fuzz_sz_layer_vs_reference(oracle_mod):
+    """SZ layer fuzz: random SZ parameter sets and pixel buffers through
+    both the python layer and the C ABI, against the reference szlib --
+    compress byte parity, then both decompress directions."""
+    import ctypes
+
+    from libaec_tpu import szip as pyszip
+    from tests.test_c_abi import SZCom as CSZCom  # noqa: F401
+
+    lib = ctypes.CDLL(str(native._SO))
+
+    class _CSZ(ctypes.Structure):
+        _fields_ = [("options_mask", ctypes.c_int),
+                    ("bits_per_pixel", ctypes.c_int),
+                    ("pixels_per_block", ctypes.c_int),
+                    ("pixels_per_scanline", ctypes.c_int)]
+
+    rng = np.random.default_rng(424242)
+    for case in range(max(N_CASES // 3, 30)):
+        ppb = int(rng.choice([2, 4, 8, 10, 16, 32]))
+        pps = int(rng.integers(1, min(ppb * 128, 2048) + 1))
+        bpp = int(rng.choice([4, 8, 13, 16, 24, 32, 64]))
+        mask = 0
+        if rng.random() < 0.7:
+            mask |= 16  # MSB
+        if rng.random() < 0.7:
+            mask |= 32  # NN
+        param = pyszip.SZCom(mask, bpp, ppb, pps)
+        if pyszip.sz_check_params(param) != pyszip.SZ_OK:
+            continue
+        pixel_bytes = 8 if bpp == 64 else (4 if bpp > 16 else
+                                           (2 if bpp > 8 else 1))
+        n_pixels = int(rng.integers(1, 4 * pps + 1))
+        # pixel values stay within bits_per_pixel: out-of-range samples
+        # hit the reference's unmasked `emit` (+= of data << bits into a
+        # partially-written byte, encode.c:61-83), whose carries corrupt
+        # neighbouring fields -- the format's contract makes sample range
+        # the caller's job (README.md:206-214), so parity is only defined
+        # in-range.  bpp 64 interleaves to full-range 8-bit planes.
+        if bpp == 64:
+            src = rng.integers(0, 256, n_pixels * 8,
+                               dtype=np.uint16).astype(np.uint8).tobytes()
+        else:
+            vals = rng.integers(0, 1 << min(bpp, 31), n_pixels,
+                                dtype=np.uint64)
+            order = ">" if (mask & 16) else "<"
+            dt = {1: "u1", 2: "u2", 4: "u4"}[pixel_bytes]
+            src = vals.astype(f"{order}{dt}" if pixel_bytes > 1
+                              else "u1").tobytes()
+
+        st_ref, comp_ref = oracle_mod.sz_compress(src, mask, bpp, ppb, pps)
+        ctx = f"case {case}: SZ({mask},{bpp},{ppb},{pps}) n={n_pixels}"
+        assert st_ref == 0, ctx
+        comp_py = pyszip.sz_buffto_buff_compress(src, param)
+        assert comp_py == comp_ref, f"{ctx}: python compress diverges"
+
+        cparam = _CSZ(mask, bpp, ppb, pps)
+        dest = ctypes.create_string_buffer(2 * len(src) + 4096)
+        dlen = ctypes.c_size_t(len(dest))
+        srcb = ctypes.create_string_buffer(src, len(src))
+        st = lib.SZ_BufftoBuffCompress(dest, ctypes.byref(dlen), srcb,
+                                       len(src), ctypes.byref(cparam))
+        assert st == 0 and dest.raw[: dlen.value] == comp_ref, \
+            f"{ctx}: C-ABI compress diverges"
+
+        # cross-decompress: their stream through us, ours through them
+        got = pyszip.sz_buffto_buff_decompress(comp_ref, param, len(src))
+        st_ref, back_ref = oracle_mod.sz_decompress(comp_py, mask, bpp,
+                                                    ppb, pps, len(src))
+        assert st_ref == 0, ctx
+        assert got == back_ref, f"{ctx}: decompress diverges"
+        if bpp in (8, 16, 32, 64):
+            # full-container widths round-trip exactly; for bpp 4/13/24
+            # the container's unused high bits are not representable in
+            # the format, so only cross-parity (asserted above) holds
+            assert got == src, f"{ctx}: roundtrip lost data"
+
+
 def test_fuzz_garbage_decode_robustness(oracle_mod):
     """Raw garbage input: 'no checking whatsoever' (decode.c:224-227).
 
