@@ -265,7 +265,8 @@ def test_c_consumer_compiles_and_runs(tmp_path):
 
 
 @pytest.mark.parametrize("bpp,ppb,pps", [(16, 16, 256), (8, 8, 100),
-                                         (64, 8, 64), (32, 16, 250)])
+                                         (64, 8, 64), (32, 16, 250),
+                                         (16, 10, 130)])
 def test_sz_compress_decompress_matches_python(bpp, ppb, pps):
     lib = _lib()
     rng = np.random.default_rng(bpp + ppb)
