@@ -74,6 +74,55 @@ def test_decode_libhdf5_chunks(tmp_path, dtype, ppb):
             assert np.array_equal(got, want), off
 
 
+def test_ld_preload_drop_in(tmp_path):
+    """The reference's headline claim, reproduced: libaectpu.so is a
+    drop-in binary replacement for szlib.  LD_PRELOADing it makes
+    libhdf5's szip filter bind SZ_BufftoBuffCompress/Decompress to OUR
+    implementation (proven via LD_DEBUG=bindings), and an szip dataset
+    written+read under that binding round-trips bit-exactly."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+    from pathlib import Path
+
+    from libaec_tpu import native as _native
+
+    so = Path(_native._SO)
+    if not so.exists():
+        pytest.skip("native library not built")
+    script = textwrap.dedent("""
+        import h5py, numpy as np, tempfile, os
+        f = tempfile.mktemp(suffix='.h5')
+        data = (np.arange(128*256) % 3000).reshape(128, 256).astype('<u2')
+        with h5py.File(f, 'w') as h:
+            d = h.create_dataset('x', data.shape, dtype='<u2',
+                                 chunks=(64, 256), compression='szip',
+                                 compression_opts=('nn', 16))
+            d[:] = data
+        with h5py.File(f, 'r') as h:
+            assert np.array_equal(h['x'][:], data)
+        print('ROUNDTRIP_OK')
+        os.remove(f)
+    """)
+    env = dict(os.environ)
+    env["LD_PRELOAD"] = str(so)
+    env["LD_DEBUG"] = "bindings"
+    dbg = tmp_path / "ld"
+    env["LD_DEBUG_OUTPUT"] = str(dbg)  # per-PID files beat a stderr pipe
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and "ROUNDTRIP_OK" in r.stdout, \
+        (r.stdout, r.stderr[-500:])
+    bound = []
+    for f in tmp_path.glob("ld.*"):
+        for line in f.read_text(errors="replace").splitlines():
+            if "SZ_BufftoBuff" in line and "libaectpu" in line:
+                bound.append(line)
+    assert bound, "libhdf5 did not bind SZ_* to libaectpu.so"
+
+
 def test_libhdf5_reads_our_chunks(tmp_path):
     shape, chunks = (128, 512), (32, 512)
     data = _make_data(shape, "<u2")
