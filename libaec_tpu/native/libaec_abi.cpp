@@ -466,10 +466,10 @@ int SZ_BufftoBuffDecompress(void* dest, size_t* destLen, const void* source,
 
 int SZ_encoder_enabled(void) { return 1; }
 
-// netcdf-configure link probe (sz_compat.c:275-276)
-int SZ_Compress(void* dest, size_t* destLen, const void* source,
-                size_t sourceLen, SZ_com_t* param) {
-    return SZ_BufftoBuffCompress(dest, destLen, source, sourceLen, param);
-}
+// netcdf-configure link probe: the reference defines this as an
+// argument-less stub (sz_compat.c:275-276 -- "char SZ_Compress()");
+// callers only link it, never call it with real arguments, so matching
+// the no-op form is the safe ABI choice.
+char SZ_Compress(void) { return (char)SZC_OK; }
 
 }  // extern "C"
