@@ -414,10 +414,13 @@ def encode_buffer(data, cfg: Config, backend=None, rsis_per_chunk=None,
     S = cfg.samples_per_rsi
     n_full = n_samples // S
     rem = n_samples - n_full * S
-    if rsis_per_chunk is None:
-        rsis_per_chunk = max(1, (64 << 20) // (S * 4))
-
     use_jax = B.name == "jax"
+    if rsis_per_chunk is None:
+        # jax amortises dispatch over big chunks; the numpy path's all-k
+        # tables and field grids want to stay cache-resident (64 MiB
+        # chunks measured 6x SLOWER than 1 MiB on the fallback)
+        budget = (64 << 20) if use_jax else (1 << 20)
+        rsis_per_chunk = max(1, budget // (S * 4))
 
     def run_chunk(x_np, nb):
         bit0 = out.bits % 8
