@@ -257,8 +257,35 @@ def bench_decode_device(comp, raw):
     return mib / per_iter, mib / t_scan, mib / per_pipe
 
 
+def _probe_device(timeout_s=180):
+    """Fail fast when the device backend is unreachable: a wedged dev
+    tunnel would otherwise hang the first dispatch forever.  The probe
+    runs on a daemon thread so a hang cannot block process exit."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax.numpy as jnp
+
+        np.asarray(jnp.arange(4))
+        ok.append(True)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        print(json.dumps({
+            "metric": "encode_throughput", "value": 0, "unit": "MiB/s",
+            "vs_baseline": 0,
+            "error": f"device backend unreachable (probe timeout "
+                     f"{timeout_s}s)"}))
+        sys.exit(1)
+
+
 def main():
     total_mib = int(os.environ.get("LIBAEC_BENCH_MB", "256"))
+    _probe_device()
     typical = load_typical()
 
     chunk_bytes = CHUNK_RSIS * RSI_SAMPLES * 2
