@@ -31,6 +31,7 @@ from libaec_tpu.constants import (
     AEC_DATA_PREPROCESS,
     AEC_DATA_SIGNED,
     AEC_NOT_ENFORCE,
+    AEC_PAD_RSI,
     AEC_RESTRICTED,
 )
 
@@ -58,6 +59,9 @@ MATRIX = [
     (2, 8, 16, AEC_RESTRICTED | AEC_DATA_PREPROCESS, 8),    # XLA fallback
     (16, 10, 32, AEC_DATA_MSB | AEC_DATA_PREPROCESS
      | AEC_NOT_ENFORCE, 8),                                 # even bs=10
+    (16, 64, 1, AEC_DATA_MSB | AEC_DATA_PREPROCESS, 64),    # rsi=1 edge
+    (16, 64, 32, AEC_DATA_MSB | AEC_DATA_PREPROCESS
+     | AEC_PAD_RSI, 8),                                     # PAD_RSI
 ]
 
 
