@@ -257,6 +257,66 @@ def bench_decode_device(comp, raw):
     return mib / per_iter, mib / t_scan, mib / per_pipe
 
 
+def bench_reference_cpu(raw, comp):
+    """Same-run, same-buffer timings of the reference C library
+    (.refbuild/src/libaec.so, the oracle build), so the native-CPU claims
+    are reproducible from the recorded JSON alone: machine drift moves
+    ref_* and the repo numbers together.  Also asserts the reference
+    produces OUR bytes (and decodes them back), a free oracle check.
+    Returns (ref_encode_mibs, ref_decode_mibs) or (None, None) when the
+    oracle build is absent."""
+    import ctypes
+
+    so = REPO / ".refbuild" / "src" / "libaec.so"
+    if not so.exists():
+        return None, None
+    lib = ctypes.CDLL(str(so))
+
+    class S(ctypes.Structure):
+        _fields_ = [
+            ("next_in", ctypes.c_void_p), ("avail_in", ctypes.c_size_t),
+            ("total_in", ctypes.c_size_t), ("next_out", ctypes.c_void_p),
+            ("avail_out", ctypes.c_size_t), ("total_out", ctypes.c_size_t),
+            ("bits_per_sample", ctypes.c_uint), ("block_size", ctypes.c_uint),
+            ("rsi", ctypes.c_uint), ("flags", ctypes.c_uint),
+            ("state", ctypes.c_void_p),
+        ]
+
+    mib = len(raw) / (1 << 20)
+    inb = ctypes.create_string_buffer(raw, len(raw))
+    outb = ctypes.create_string_buffer(len(raw) + (1 << 20))
+    t_enc = float("inf")
+    tout = 0
+    for _rep in range(3):
+        s = S(next_in=ctypes.cast(inb, ctypes.c_void_p),
+              avail_in=len(raw),
+              next_out=ctypes.cast(outb, ctypes.c_void_p),
+              avail_out=len(outb.raw), bits_per_sample=CFG.bits_per_sample,
+              block_size=CFG.block_size, rsi=CFG.rsi, flags=CFG.flags)
+        t0 = time.time()
+        rc = lib.aec_buffer_encode(ctypes.byref(s))
+        t_enc = min(t_enc, time.time() - t0)
+        assert rc == 0
+        tout = s.total_out
+    assert outb.raw[:tout] == comp, "reference encode differs from ours"
+
+    compb = ctypes.create_string_buffer(comp, len(comp))
+    decb = ctypes.create_string_buffer(len(raw))
+    t_dec = float("inf")
+    for _rep in range(3):
+        s = S(next_in=ctypes.cast(compb, ctypes.c_void_p),
+              avail_in=len(comp),
+              next_out=ctypes.cast(decb, ctypes.c_void_p),
+              avail_out=len(raw), bits_per_sample=CFG.bits_per_sample,
+              block_size=CFG.block_size, rsi=CFG.rsi, flags=CFG.flags)
+        t0 = time.time()
+        rc = lib.aec_buffer_decode(ctypes.byref(s))
+        t_dec = min(t_dec, time.time() - t0)
+        assert rc == 0
+    assert decb.raw[: len(raw)] == raw, "reference decode verify failed"
+    return mib / t_enc, mib / t_dec
+
+
 def _probe_device(timeout_s=180):
     """Fail fast when the device backend is unreachable: a wedged dev
     tunnel would otherwise hang the first dispatch forever.  The probe
@@ -329,6 +389,8 @@ def main():
                       len(chunk_raw) / (1 << 20) / (time.time() - t0))
     assert st == 0 and ncomp == comp, "native encode verify failed"
 
+    ref_enc, ref_dec = bench_reference_cpu(chunk_raw, comp)
+
     result = {
         "metric": "encode_throughput",
         "value": round(enc_kernel, 1),
@@ -344,6 +406,10 @@ def main():
         "decode_e2e": round(dec_e2e, 1),
         "decode_cpu": round(dec_cpu, 1),
         "encode_cpu": round(enc_cpu, 1),
+        # same-run reference-library timings (paired measurement: machine
+        # drift moves these with the repo numbers above)
+        "ref_encode_cpu": round(ref_enc, 1) if ref_enc else None,
+        "ref_decode_cpu": round(ref_dec, 1) if ref_dec else None,
     }
     print(json.dumps(result))
     ratio = len(comp) / len(chunk_raw)

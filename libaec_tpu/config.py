@@ -44,8 +44,11 @@ class Config:
                 raise AecConfError("block_size must be 8, 16, 32 or 64")
         if self.rsi > 4096 or self.rsi == 0:
             raise AecConfError("rsi must be in [1, 4096]")
-        if self.restricted and bps > 4:
-            # encode.c:843-851: restricted mode only for <=4 bit samples
+        if self.restricted and 4 < bps <= 8:
+            # encode.c:843-851 / decode.c:739-747: the RESTRICTED check
+            # lives only in the bps<=8 branch -- 5..8 is a CONF_ERROR,
+            # while bps>8 silently ignores the flag (id_len is picked by
+            # width first, so the codec output is identical to plain)
             raise AecConfError("restricted mode requires bits_per_sample <= 4")
 
     # -- flag accessors ----------------------------------------------------

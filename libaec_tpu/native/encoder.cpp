@@ -469,13 +469,20 @@ static void encode_rsi(Emitter& em, uint32_t* d, unsigned nb,
 
 static bool params_valid(const EncParams& p) {
     if (p.bps == 0 || p.bps > 32) return false;
+    // rsi==0 passes the reference's init (encode.c:793 checks only >4096)
+    // but its encoder then segfaults on the first buffer (verified against
+    // .refbuild); rejecting it up front is the memory-safe deviation
     if (p.rsi == 0 || p.rsi > 4096) return false;
     if (p.flags & E_FLAG_NOT_ENFORCE) {
         if (p.bs == 0 || (p.bs & 1)) return false;
     } else if (p.bs != 8 && p.bs != 16 && p.bs != 32 && p.bs != 64) {
         return false;
     }
-    if ((p.flags & E_FLAG_RESTRICTED) && p.bps > 4) return false;
+    // the reference checks RESTRICTED only in its bps<=8 branch
+    // (encode.c:843-851): 5..8 is a CONF_ERROR, >8 silently ignores the
+    // flag (verified: RESTRICTED|bps=16 encodes identically to plain)
+    if ((p.flags & E_FLAG_RESTRICTED) && p.bps > 4 && p.bps <= 8)
+        return false;
     return true;
 }
 

@@ -142,7 +142,7 @@ int aec_encode_init(struct aec_stream* strm) {
     return A_OK;
 }
 
-int aec_encode(struct aec_stream* strm, int flush) {
+int aec_encode(struct aec_stream* strm, int flush) try {
     AbiEncState* s = (AbiEncState*)strm->state;
     if (!s) return A_STREAM_ERROR;
     if (strm->avail_in) {
@@ -172,6 +172,8 @@ int aec_encode(struct aec_stream* strm, int flush) {
     strm->avail_out -= n;
     strm->total_out += n;
     return A_OK;
+} catch (const std::bad_alloc&) {
+    return A_MEM_ERROR;
 }
 
 int aec_encode_end(struct aec_stream* strm) {
@@ -192,12 +194,16 @@ int aec_encode_end(struct aec_stream* strm) {
 
 namespace {
 struct AbiDecState {
-    std::vector<uint8_t> inbuf;
-    uint64_t pos_bit = 0;
-    std::vector<uint8_t> outbuf;
+    std::vector<uint8_t> inbuf;   // un-consumed input only: whole bytes
+    //  below pos_bit are erased after each decode step (pos_bit rebased),
+    //  so memory is O(fed chunk + one RSI), matching the reference's
+    //  O(rsi) decode session (decode.h:68-133)
+    uint64_t pos_bit = 0;         // relative to inbuf[0]
+    std::vector<uint8_t> outbuf;  // decoded, not-yet-drained output
     size_t drained = 0;
     size_t rsi_bytes;
     int status = A_OK;
+    bool want_finish = false;
     bool finished = false;
 };
 }  // namespace
@@ -213,7 +219,7 @@ int aec_decode_init(struct aec_stream* strm) {
     return A_OK;
 }
 
-int aec_decode(struct aec_stream* strm, int flush) {
+int aec_decode(struct aec_stream* strm, int flush) try {
     AbiDecState* s = (AbiDecState*)strm->state;
     if (!s) return A_STREAM_ERROR;
     if (strm->avail_in) {
@@ -223,13 +229,20 @@ int aec_decode(struct aec_stream* strm, int flush) {
         strm->total_in += strm->avail_in;
         strm->avail_in = 0;
     }
-    if (!s->finished) {
-        // decode every COMPLETE RSI now in the buffer (safe cut points;
-        // the scan proves completeness before any sample is produced)
+    if (flush == A_FLUSH) s->want_finish = true;
+    size_t pending = s->outbuf.size() - s->drained;
+    // decode more only when buffered output cannot satisfy the caller:
+    // production is rate-matched to avail_out, so outbuf stays
+    // O(avail_out + RSI) no matter how the caller drives the stream
+    if (!s->finished && pending <= strm->avail_out) {
+        // decode COMPLETE RSIs now in the buffer (safe cut points; the
+        // scan proves completeness before any sample is produced), at
+        // most what the caller can drain this call plus one
+        size_t limit = strm->avail_out / s->rsi_bytes + 1;
         size_t n_rsis = 0;
         uint64_t end_bit = s->pos_bit;
         aectpu_scan_rsis(s->inbuf.data(), s->inbuf.size(), s->pos_bit,
-                         (size_t)-1, &n_rsis, &end_bit,
+                         limit, &n_rsis, &end_bit,
                          strm->bits_per_sample, strm->block_size, strm->rsi,
                          strm->flags);
         if (n_rsis) {
@@ -243,16 +256,25 @@ int aec_decode(struct aec_stream* strm, int flush) {
                                strm->rsi, strm->flags);
             s->outbuf.resize(base + written);
             s->pos_bit = end_bit;
+            // trim consumed whole input bytes, rebasing the bit cursor
+            // (whole-byte trims preserve pos_bit%8, so AEC_PAD_RSI's
+            // byte realignment is unaffected)
+            size_t adv = (size_t)(s->pos_bit / 8);
+            if (adv) {
+                s->inbuf.erase(s->inbuf.begin(), s->inbuf.begin() + adv);
+                s->pos_bit -= (uint64_t)adv * 8;
+            }
         }
-        if (flush == A_FLUSH) {
-            // trailing partial RSI: the serial core's truncation semantics
+        if (s->want_finish && n_rsis < limit) {
+            // no complete RSI left; finish the trailing partial RSI with
+            // the serial core's truncation semantics.  After the scan the
+            // tail holds at most one incomplete RSI, so its output is
+            // bounded by one RSI (plus slack) -- a linear, small cap.
             size_t rem_bits = 8 * s->inbuf.size() > s->pos_bit
                                   ? 8 * s->inbuf.size() - s->pos_bit
                                   : 0;
             if (rem_bits) {
-                // a CDS covers >= id_len+2 bits per <=64 blocks; bound the
-                // possible output generously in whole RSIs
-                size_t cap = ((rem_bits / 2) + 2) * s->rsi_bytes;
+                size_t cap = s->rsi_bytes + 16;
                 size_t base = s->outbuf.size();
                 s->outbuf.resize(base + cap);
                 size_t written = 0;
@@ -273,11 +295,17 @@ int aec_decode(struct aec_stream* strm, int flush) {
     strm->next_out += n;
     strm->avail_out -= n;
     strm->total_out += n;
-    if (s->drained == s->outbuf.size() && s->drained > (1u << 20)) {
+    if (s->drained == s->outbuf.size()) {
         s->outbuf.clear();
+        s->drained = 0;
+    } else if (s->drained > s->rsi_bytes) {
+        s->outbuf.erase(s->outbuf.begin(), s->outbuf.begin() + s->drained);
         s->drained = 0;
     }
     return s->status == A_OK || !s->finished ? A_OK : s->status;
+} catch (const std::bad_alloc&) {
+    // never let an allocation failure cross the C ABI as an exception
+    return A_MEM_ERROR;
 }
 
 int aec_decode_end(struct aec_stream* strm) {

@@ -58,12 +58,19 @@ def max_fs_bits(cfg):
 def swap32(w):
     """u32 byteswap, expressible on the VPU (shifts + masks only).
 
-    The native scan memcpys payload windows RAW (host little-endian
-    order); the big-endian word interpretation every parse below relies on
-    is recovered here, on device, where it fuses for free -- host-side
-    bswap was a third of the structural scan's time."""
+    The native scan memcpys payload windows RAW (host byte order); the
+    big-endian word interpretation every parse below relies on is
+    recovered here, on device, where it fuses for free -- host-side
+    bswap was a third of the structural scan's time.  On a big-endian
+    host the raw memcpy already yields big-endian word values, so the
+    swap is a no-op there (mirrors the __BYTE_ORDER__ guard the native
+    loads use, aectpu_native.cpp load64_be)."""
+    import sys
+
     u32 = jnp.uint32
     w = w.astype(u32)
+    if sys.byteorder == "big":
+        return w
     return ((w << u32(24)) | ((w & u32(0xFF00)) << u32(8))
             | ((w >> u32(8)) & u32(0xFF00)) | (w >> u32(24)))
 

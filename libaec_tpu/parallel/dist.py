@@ -131,7 +131,7 @@ def make_mesh_encoder(cfg, n_rsi_per_shard, mesh, axis_name="data",
     import os
 
     import jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..backend import jax_backend
@@ -156,7 +156,7 @@ def make_mesh_encoder(cfg, n_rsi_per_shard, mesh, axis_name="data",
         out_specs=(P(axis_name, None), P(axis_name), P(axis_name), P(axis_name)),
         # pallas_call cannot declare varying-mesh-axes output metadata, so
         # replication checking must be off on the kernel branch
-        check_rep=False,
+        check_vma=False,
     )
     jfn = jax.jit(fn)
 
@@ -183,7 +183,7 @@ def make_mesh_decoder(cfg, n_rsi_per_shard, mesh, axis_name="data"):
     Returns run(win, fs_bit, lsb_rel, meta, ref_sample) ->
     u8 [n_shards * shard_bytes]."""
     import jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..ops import bitunpack
@@ -225,7 +225,7 @@ def make_mesh_assembler(mesh, W, nwords, n_shards, axis_name="data"):
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     Wout = -(-nwords // n_shards)
@@ -254,7 +254,7 @@ def make_mesh_assembler(mesh, W, nwords, n_shards, axis_name="data"):
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name)),
         out_specs=P(axis_name, None),
-        check_rep=False,
+        check_vma=False,
     )
     jfn = jax.jit(fn)
 

@@ -197,41 +197,62 @@ def aec_encode_end(strm: AecStream):
 
 
 class _DecState:
-    """Incremental streaming decode state.
+    """Incremental streaming decode state -- bounded memory.
 
     Complete RSIs are decoded exactly once as input accumulates (the scan
     position `pos_bit` persists across calls); only the trailing partial
     RSI is re-decoded per call, bounding per-call work by one RSI
     regardless of how the input dribbles in -- the reference achieves the
     same with its resumable FSM (decode.c:342-460), we do it by whole-RSI
-    replay."""
+    replay.  Consumed input bytes are trimmed from `inbuf` (rebasing
+    `pos_bit`) and emitted output is dropped from `done_out`, so a
+    drip-fed stream of any length holds O(chunk + RSI) state -- parity
+    with the reference's O(rsi) decode session (decode.h:68-133)."""
 
     def __init__(self, cfg):
         self.cfg = cfg
         self.inbuf = bytearray()
-        self.emitted = 0   # bytes already handed to the caller
-        self.outbuf = b""  # decoded bytes of complete RSIs
-        self.pos_bit = 0   # bit offset of the first un-decoded RSI
+        self.pos_bit = 0   # bit offset of the first un-decoded RSI,
+        #                    relative to inbuf[0] (whole consumed bytes
+        #                    are trimmed; trimming preserves pos_bit%8 so
+        #                    PAD_RSI byte realignment is unaffected)
+        self.done_out = bytearray()  # complete-RSI output not yet emitted
+        self.complete_produced = 0   # total complete-RSI bytes ever decoded
+        self.emitted = 0             # total bytes handed to the caller
         self.status = AEC_OK
         self._tail = b""       # cached partial-RSI decode
+        self._status_tail = AEC_OK
         self._tail_len = -1    # input length the cache was computed at
 
-    def available(self, cap_hint):
-        """Decode newly completed RSIs; return bytes not yet emitted."""
+    def take(self, cap):
+        """Decode newly completed RSIs, return (status, fresh bytes)."""
         cfg = self.cfg
-        data = bytes(self.inbuf)
         rsi_bytes = cfg.rsi_len_bytes
-        if self.status == AEC_OK and native.get_lib() is not None:
-            scanned = native.scan_rsis(data, self.pos_bit, 1 << 40, cfg)
-            n_new, end_bit = scanned
+        if self.status != AEC_OK:
+            # sticky error: the reference stops producing on DATA_ERROR
+            return self.status, b""
+        if native.get_lib() is not None:
+            data = bytes(self.inbuf)
+            n_new, end_bit = native.scan_rsis(data, self.pos_bit, 1 << 40,
+                                              cfg)
             if n_new:
                 st, out = native.decode(data, n_new * rsi_bytes, cfg,
                                         start_bit=self.pos_bit)
-                self.outbuf += out
+                # tail bytes handed out earlier are re-produced by the
+                # complete-RSI decode; skip the already-emitted overlap
+                overlap = max(0, self.emitted - self.complete_produced)
+                self.done_out += out[overlap:]
+                self.complete_produced += len(out)
                 self.pos_bit = end_bit
                 self._tail_len = -1  # tail moved; invalidate cache
                 if st != AEC_OK:
                     self.status = st
+                # trim consumed whole input bytes, rebasing the cursor
+                adv = self.pos_bit // 8
+                if adv:
+                    del self.inbuf[:adv]
+                    self.pos_bit -= adv * 8
+                    data = bytes(self.inbuf)
             # trailing partial RSI: bounded re-decode (serial core), cached
             # so output-drain calls with no new input cost nothing
             if self._tail_len != len(data):
@@ -240,21 +261,30 @@ class _DecState:
                 self._tail_len = len(data)
             status = self._status_tail if self.status == AEC_OK \
                 else self.status
-            full = self.outbuf + (self._tail if self.status == AEC_OK
-                                  else b"")
-            return status, full[self.emitted:]
+            emit = bytearray()
+            n = min(cap, len(self.done_out))
+            if n:
+                emit += self.done_out[:n]
+                del self.done_out[:n]
+            if (len(emit) < cap and not self.done_out
+                    and self.status == AEC_OK):
+                skip = self.emitted + len(emit) - self.complete_produced
+                emit += self._tail[skip: skip + (cap - len(emit))]
+            self.emitted += len(emit)
+            return status, bytes(emit)
 
-        # no native toolchain (or sticky error): scalar full replay
+        # no native toolchain: scalar full replay (inbuf is never trimmed
+        # on this path, so the replay always sees the whole stream)
         from .decode import decode_buffer_numpy
 
+        data = bytes(self.inbuf)
         max_out = ((len(data) * 8 // (cfg.id_len + 2) + 2)
                    * 64 * cfg.block_size * cfg.bytes_per_sample)
-        out_cap = min(self.emitted + cap_hint, max_out)
-        if native.get_lib() is not None:
-            status, out = native.decode(data, out_cap, cfg)
-        else:
-            status, out = decode_buffer_numpy(data, out_cap, cfg)
-        return status, out[self.emitted:]
+        out_cap = min(self.emitted + cap, max_out)
+        status, out = decode_buffer_numpy(data, out_cap, cfg)
+        fresh = out[self.emitted: self.emitted + cap]
+        self.emitted += len(fresh)
+        return status, fresh
 
 
 def aec_decode_init(strm: AecStream):
@@ -275,9 +305,7 @@ def aec_decode(strm: AecStream, flush):
     st.inbuf += data
 
     cap = strm.avail_out if strm.avail_out is not None else (1 << 62)
-    status, fresh = st.available(cap)
-    emit = fresh[:cap]
-    st.emitted += len(emit)
+    status, emit = st.take(cap)
     if strm.next_out is None:
         strm.next_out = bytearray()
     strm.next_out += emit

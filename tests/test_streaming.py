@@ -135,11 +135,14 @@ def test_decode_incremental_large_stream():
         s.next_out = out
         s.avail_out = 1 << 30
         aec_decode(s, AEC_NO_FLUSH)
-        # the scan position advances past every completed RSI: per-call
-        # re-decode work is bounded by one RSI
+        # the scan position advances past every completed RSI and consumed
+        # input is trimmed: buffered state is bounded by O(RSI), not by
+        # the stream length (per-call re-decode work likewise)
         st_state = s._state
-        assert (8 * (i + chunk) - st_state.pos_bit
+        assert (8 * len(st_state.inbuf) - st_state.pos_bit
                 < 2 * 8 * cfg.rsi_len_bytes)
+        assert len(st_state.inbuf) < chunk + 2 * cfg.rsi_len_bytes
+        assert len(st_state.done_out) == 0  # fully drained each call
     assert bytes(out) == oneshot
 
 
