@@ -23,6 +23,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <type_traits>
 #include <vector>
 
 namespace {
@@ -208,50 +209,93 @@ static void read_samples(const uint8_t* p, size_t n, int bsz, bool msb,
     }
 }
 
-// Forward Δ-map of one RSI in place (d[0] = 0, reference sample kept by
-// the caller).  Mirrors ops/preprocess.delta_map_{unsigned,signed}:
-// uint32/int32 wraparound arithmetic throughout.
-static void delta_rsi(uint32_t* x, size_t n, const EncParams& p) {
+// Forward Δ-map of one RSI, out-of-place (d[0] = 0; the caller keeps the
+// reference sample from x[0]).  Semantics are the reference's four-branch
+// mapping (encode.c:255-309 / ops/preprocess.py), rewritten in the
+// equivalent branchless theta form:
+//     theta = min(prev - xmin, xmax - prev)
+//     |D| <= theta  ->  zigzag(D)         (2D for D>=0, -2D-1 for D<0)
+//     else          ->  theta + |D|
+// Equivalence: up-moves have D <= xmax - prev always, so the clamp branch
+// (d = cur - xmin = theta + D) is reachable only when theta = prev - xmin;
+// symmetrically for down-moves.  The map touches only (x[i-1], x[i]) --
+// no loop-carried state -- so writing OUT-of-place makes it a pure
+// vectorisable map (the in-place version serialised on the store).
+template <typename T>
+static inline void delta_map(const uint32_t* x, uint32_t* d, size_t n,
+                             uint32_t m, T xmin, T xmax) {
+    using U = typename std::make_unsigned<T>::type;
+    for (size_t i = 1; i < n; i++) {
+        T prev = (T)(int32_t)((x[i - 1] ^ m) - m);
+        T cur = (T)(int32_t)((x[i] ^ m) - m);
+        T D = cur - prev;
+        T sgn = D >> (sizeof(T) * 8 - 1);  // 0 or -1
+        T mag = (D ^ sgn) - sgn;
+        T t_up = prev - xmin, t_dn = xmax - prev;
+        T theta = t_up < t_dn ? t_up : t_dn;
+        // zigzag in unsigned arithmetic: D<<1 may exceed T's positive
+        // range (it is only SELECTED when mag <= theta, but it must not
+        // be UB to compute)
+        U zz = ((U)D << 1) ^ (U)sgn;
+        d[i] = (uint32_t)(mag <= theta ? zz : (U)(theta + mag));
+    }
+}
+
+// unsigned specialisation: no sign-extension, values are already u32
+static inline void delta_map_u(const uint32_t* x, uint32_t* d, size_t n,
+                               uint32_t xmax) {
+    for (size_t i = 1; i < n; i++) {
+        uint32_t prev = x[i - 1], cur = x[i];
+        int32_t D = (int32_t)(cur - prev);
+        int32_t sgn = D >> 31;
+        uint32_t mag = (uint32_t)((D ^ sgn) - sgn);
+        uint32_t t_dn = xmax - prev;
+        uint32_t theta = prev < t_dn ? prev : t_dn;
+        uint32_t zz = ((uint32_t)D << 1) ^ (uint32_t)sgn;
+        d[i] = mag <= theta ? zz : theta + mag;
+    }
+}
+
+// unsigned bps=32: differences exceed int32; zero-extend into int64
+static inline void delta_map_u64(const uint32_t* x, uint32_t* d, size_t n,
+                                 int64_t xmax) {
+    for (size_t i = 1; i < n; i++) {
+        int64_t prev = x[i - 1], cur = x[i];
+        int64_t D = cur - prev;
+        int64_t sgn = D >> 63;
+        int64_t mag = (D ^ sgn) - sgn;
+        int64_t t_dn = xmax - prev;
+        int64_t theta = prev < t_dn ? prev : t_dn;
+        int64_t zz = (int64_t)(((uint64_t)D << 1) ^ (uint64_t)sgn);
+        d[i] = (uint32_t)(mag <= theta ? zz : theta + mag);
+    }
+}
+
+static void delta_rsi(const uint32_t* x, uint32_t* d, size_t n,
+                      const EncParams& p) {
     if (n == 0) return;
+    d[0] = 0;
     if (!(p.flags & E_FLAG_SIGNED)) {
-        const uint32_t xmax = p.xmax();
-        uint32_t prev = x[0];
-        x[0] = 0;
-        for (size_t i = 1; i < n; i++) {
-            uint32_t cur = x[i], d;
-            if (cur >= prev) {
-                uint32_t D = cur - prev;
-                d = (D <= prev) ? 2 * D : cur;
-            } else {
-                uint32_t D = prev - cur;
-                d = (D <= xmax - prev) ? 2 * D - 1 : xmax - cur;
-            }
-            x[i] = d;
-            prev = cur;
-        }
+        if (p.bps <= 31)
+            // bps<=31: cur-prev fits int32 exactly
+            delta_map_u(x, d, n, p.xmax());
+        else
+            delta_map_u64(x, d, n, (int64_t)p.xmax());
+    } else if (p.bps == 1) {
+        // reference quirk (encode.c:866): signed bps=1 derives xmax from
+        // an out-of-range shift (UINT32_MAX >> 32), leaving
+        // xmax=UINT32_MAX / xmin=0 on x86 -- the clamp conditions then
+        // never fire, so the map degenerates to pure zigzag
+        // (config.py:104-112 documents the same for the device path)
+        delta_map<int64_t>(x, d, n, 1u, INT64_MIN / 2, INT64_MAX / 2);
     } else {
-        const uint32_t m = (1u << (p.bps - 1)) & 0xFFFFFFFFu;
-        const int32_t sxmax = (int32_t)p.xmax();
-        const int32_t sxmin = (int32_t)p.xmin();
-        int32_t prev = (int32_t)((x[0] ^ m) - m);
-        x[0] = 0;
-        for (size_t i = 1; i < n; i++) {
-            int32_t cur = (int32_t)((x[i] ^ m) - m);
-            uint32_t d;
-            if (cur < prev) {
-                uint32_t D = (uint32_t)prev - (uint32_t)cur;
-                d = (D <= (uint32_t)(sxmax - prev))
-                        ? 2 * D - 1
-                        : (uint32_t)(sxmax - cur);
-            } else {
-                uint32_t D = (uint32_t)cur - (uint32_t)prev;
-                d = (D <= (uint32_t)(prev - sxmin))
-                        ? 2 * D
-                        : (uint32_t)(cur - sxmin);
-            }
-            x[i] = d;
-            prev = cur;
-        }
+        const uint32_t m = 1u << (p.bps - 1);
+        if (p.bps <= 31)
+            delta_map<int32_t>(x, d, n, m, (int32_t)p.xmin(),
+                               (int32_t)p.xmax());
+        else
+            delta_map<int64_t>(x, d, n, m, (int64_t)(int32_t)p.xmin(),
+                               (int64_t)(int32_t)p.xmax());
     }
 }
 
@@ -271,6 +315,31 @@ static uint64_t fs_len(const BlockCtx& c, int k) {
     return s;
 }
 
+// One fused vector pass per block: the OR of all samples (zero-block
+// test) and the three fs sums the warm-started k walk touches first
+// (k0-1, k0, k0+1) -- branch-free reductions the compiler vectorises,
+// replacing the early-exit scalar zero check plus a separate sum pass.
+struct BlockScan {
+    uint32_t orv;
+    uint64_t s0, s1, s2;
+    int lo;
+};
+
+static BlockScan scan_block(const uint32_t* db, unsigned bs, int k0) {
+    const int lo = k0 > 0 ? k0 - 1 : 0;
+    uint32_t orv = 0;
+    uint64_t s0 = 0, s1 = 0, s2 = 0;
+    for (unsigned i = 0; i < bs; i++) {
+        uint32_t raw = db[i];
+        orv |= raw;
+        uint32_t v = raw >> lo;
+        s0 += v;
+        s1 += v >> 1;
+        s2 += v >> 2;
+    }
+    return {orv, s0, s1, s2, lo};
+}
+
 // Warm-started k walk (ops/options.k_walk_maps derivation of
 // encode.c:356-409):
 //   A(k) := k >= kmax || L(k+1) >= L(k)        (ascent stops at k)
@@ -278,24 +347,15 @@ static uint64_t fs_len(const BlockCtx& c, int k) {
 //   k0 == 0 || !A(k0) -> min{k >= k0 : A(k)};
 //   else L(k0-1) < L(k0) ? max{j <= k0-1 : !C(j)} : k0.
 static int walk_k(const BlockCtx& c, uint32_t this_bs, int kmax, int k0,
-                  uint64_t* L_out) {
+                  const BlockScan& sc, uint64_t* L_out) {
     uint64_t Lmemo[34];
     bool have[34] = {false};
-    // The common case touches L at k0-1, k0, k0+1 (the warm-started walk
-    // usually stays put or moves one step); compute those fs sums in one
-    // pass over the block -- same loads, three accumulators.
+    // seed from the fused scan pass: L at lo, lo+1, lo+2
     {
-        int lo = k0 > 0 ? k0 - 1 : 0;
-        uint64_t s0 = 0, s1 = 0, s2 = 0;
-        for (unsigned i = 0; i < c.bs; i++) {
-            uint32_t v = c.d[i] >> lo;
-            s0 += v;
-            s1 += v >> 1;
-            s2 += v >> 2;
-        }
-        Lmemo[lo] = s0 + (uint64_t)this_bs * (lo + 1);
-        Lmemo[lo + 1] = s1 + (uint64_t)this_bs * (lo + 2);
-        Lmemo[lo + 2] = s2 + (uint64_t)this_bs * (lo + 3);
+        const int lo = sc.lo;
+        Lmemo[lo] = sc.s0 + (uint64_t)this_bs * (lo + 1);
+        Lmemo[lo + 1] = sc.s1 + (uint64_t)this_bs * (lo + 2);
+        Lmemo[lo + 2] = sc.s2 + (uint64_t)this_bs * (lo + 3);
         have[lo] = have[lo + 1] = have[lo + 2] = true;
     }
     auto L = [&](int k) -> uint64_t {
@@ -331,8 +391,11 @@ static int walk_k(const BlockCtx& c, uint32_t this_bs, int kmax, int k0,
 // SE comparison length (ops/options.se_lengths): 1 + sum over pairs of
 // (fs + 1) with the oracle-validated smallness gate (u32-wrapping sums or
 // sums >= 128 can never be selected: their fs alone exceeds any
-// uncomp_len <= 2048).
-static uint64_t se_len(const BlockCtx& c, uint64_t uncomp_len) {
+// uncomp_len <= 2048).  `bound` is the tightest competitor length (the
+// min of uncomp_len and the split length): SE is only ever SELECTED when
+// strictly below both, so the loop may abort as soon as len exceeds it --
+// the returned sentinel compares correctly in either direction.
+static uint64_t se_len(const BlockCtx& c, uint64_t bound) {
     uint64_t len = 1;
     for (unsigned i = 0; i < c.bs; i += 2) {
         uint32_t a = c.d[i], b = c.d[i + 1];
@@ -341,7 +404,7 @@ static uint64_t se_len(const BlockCtx& c, uint64_t uncomp_len) {
                          ? (uint64_t)s * (s + 1) / 2 + b
                          : (uint64_t)1 << 20;
         len += m + 1;
-        if (len > uncomp_len) return UINT32_MAX;
+        if (len > bound) return UINT32_MAX;
     }
     return len;
 }
@@ -369,8 +432,33 @@ static void emit_zero_run(Emitter& em, ZeroRun& z, const EncParams& p,
     z = ZeroRun{};
 }
 
+// Register-resident 64-bit batcher over an Emitter: codes accumulate
+// locally (no member-field traffic) and flush to the emitter one whole
+// 32-bit word at a time -- the same accumulator idea as the reference's
+// emitblock (encode.c:144-233), expressed as a tiny adapter.
+struct Batch {
+    Emitter& em;
+    uint64_t a = 0;
+    int n = 0;  // invariant: n < 32 between push() calls
+
+    explicit Batch(Emitter& e) : em(e) {}
+    inline void push(uint32_t v, int w) {  // w in [1, 32]
+        a = (a << w) | (uint64_t)v;
+        n += w;
+        if (n >= 32) {
+            n -= 32;
+            em.emit((uint32_t)(a >> n), 32);
+        }
+    }
+    void flush() {
+        if (n) em.emit((uint32_t)a, n);
+        a = 0;
+        n = 0;
+    }
+};
+
 static void encode_block(Emitter& em, const BlockCtx& c, const EncParams& p,
-                         int* k_state) {
+                         int* k_state, const BlockScan& sc) {
     const int id_len = p.id_len();
     const uint32_t this_bs = c.bs - (c.ref ? 1 : 0);
     const uint64_t uncomp_len = (uint64_t)this_bs * p.bps;
@@ -379,52 +467,72 @@ static void encode_block(Emitter& em, const BlockCtx& c, const EncParams& p,
     uint64_t split_len64 = UINT64_MAX;
     int k = *k_state;
     if (id_len > 1) {
-        k = walk_k(c, this_bs, p.kmax(), *k_state, &split_len64);
+        k = walk_k(c, this_bs, p.kmax(), *k_state, sc, &split_len64);
         *k_state = k;
     }
     // the reference compares the u32 truncation (encode.c:409)
     uint32_t split32 =
         id_len > 1 ? (uint32_t)split_len64 : 0xFFFFFFFFu;
-    uint64_t se = se_len(c, uncomp_len);
+    uint64_t se_bound = uncomp_len < split32 ? uncomp_len : split32;
+    uint64_t se = se_len(c, se_bound);
 
     if (split32 < uncomp_len && split32 < se) {  // splitting, id = k+1
-        em.emit((uint32_t)k + 1, id_len);
-        if (c.ref) em.emit(c.ref_sample & mask, p.bps);
-        // FS pass with greedy batching: typical codes are 1-4 bits, so
-        // several pack into one 32-bit emit; oversized codes flush the
-        // batch and take the chunked emit_fs path
-        uint32_t accv = 0;
-        int accw = 0;
-        for (unsigned i = c.ref ? 1 : 0; i < c.bs; i++) {
-            uint32_t fs = c.d[i] >> k;
-            if (fs < 32 && fs + 1 + (uint32_t)accw <= 32) {
-                accv = (accv << (fs + 1)) | 1u;
-                accw += (int)fs + 1;
+        Batch b(em);
+        b.push((uint32_t)k + 1, id_len);
+        if (c.ref) b.push(c.ref_sample & mask, p.bps);
+        // FS pass, two codes per push (halves the serial accumulator
+        // chain): typical codes are 1-4 bits, so pairs almost always fit
+        // one push; oversized codes flush and take the chunked emit_fs
+        // path
+        unsigned i = c.ref ? 1 : 0;
+        for (; i + 1 < c.bs; i += 2) {
+            uint32_t fa = c.d[i] >> k, fb = c.d[i + 1] >> k;
+            uint64_t w = (uint64_t)fa + fb + 2;  // u64: no wrap on huge fs
+            if (w <= 32) {
+                b.push((1u << (fb + 1)) | 1u, (int)w);
+            } else if (fa < 32 && fb < 32) {
+                b.push(1u, (int)fa + 1);
+                b.push(1u, (int)fb + 1);
             } else {
-                if (accw) {
-                    em.emit(accv, accw);
-                    accv = 0;
-                    accw = 0;
-                }
+                b.flush();
+                if (fa < 32)
+                    b.push(1u, (int)fa + 1);
+                else
+                    em.emit_fs(fa);
+                b.flush();
+                if (fb < 32)
+                    b.push(1u, (int)fb + 1);
+                else
+                    em.emit_fs(fb);
+            }
+        }
+        for (; i < c.bs; i++) {
+            uint32_t fs = c.d[i] >> k;
+            if (fs < 32) {
+                b.push(1u, (int)fs + 1);
+            } else {
+                b.flush();
                 em.emit_fs(fs);
             }
         }
-        if (accw) em.emit(accv, accw);
         if (k) {
             const uint32_t km = (1u << k) - 1;
-            unsigned i = c.ref ? 1 : 0;
-            if (k <= 16)  // pair-combine: halves the emit calls
-                for (; i + 1 < c.bs; i += 2)
-                    em.emit(((c.d[i] & km) << k) | (c.d[i + 1] & km),
-                            2 * k);
-            for (; i < c.bs; i++) em.emit(c.d[i] & km, k);
+            unsigned j = c.ref ? 1 : 0;
+            if (k <= 16)  // pair-combine: halves the pushes
+                for (; j + 1 < c.bs; j += 2)
+                    b.push(((c.d[j] & km) << k) | (c.d[j + 1] & km),
+                           2 * k);
+            for (; j < c.bs; j++) b.push(c.d[j] & km, k);
         }
+        b.flush();
     } else if (!(split32 < uncomp_len) && uncomp_len <= se) {  // uncomp
-        em.emit((1u << id_len) - 1, id_len);
+        Batch b(em);
+        b.push((1u << id_len) - 1, id_len);
         for (unsigned i = 0; i < c.bs; i++) {
             uint32_t v = (i == 0 && c.ref) ? c.ref_sample : c.d[i];
-            em.emit(v & mask, p.bps);
+            b.push(v & mask, p.bps);
         }
+        b.flush();
     } else {  // second extension, id 1 in id_len+1 bits
         em.emit(1, id_len + 1);
         if (c.ref) em.emit(c.ref_sample & mask, p.bps);
@@ -436,7 +544,7 @@ static void encode_block(Emitter& em, const BlockCtx& c, const EncParams& p,
 }
 
 // Encode one RSI's worth of preprocessed samples (nb whole blocks).
-static void encode_rsi(Emitter& em, uint32_t* d, unsigned nb,
+static void encode_rsi(Emitter& em, const uint32_t* d, unsigned nb,
                        uint32_t ref_sample, const EncParams& p,
                        int* k_state) {
     const unsigned bs = p.bs;
@@ -444,13 +552,8 @@ static void encode_rsi(Emitter& em, uint32_t* d, unsigned nb,
     for (unsigned b = 0; b < nb; b++) {
         const uint32_t* db = d + (size_t)b * bs;
         bool ref = p.pp() && b == 0;
-        bool zero = true;
-        for (unsigned i = 0; i < bs; i++)
-            if (db[i]) {
-                zero = false;
-                break;
-            }
-        if (zero) {
+        BlockScan sc = scan_block(db, bs, *k_state);
+        if (!sc.orv) {  // all-zero block
             if (z.count == 0 && ref) {
                 z.ref = true;
                 z.ref_sample = ref_sample;
@@ -462,7 +565,7 @@ static void encode_rsi(Emitter& em, uint32_t* d, unsigned nb,
         }
         if (z.count) emit_zero_run(em, z, p, /*at_seg_end=*/false);
         BlockCtx c{db, bs, ref, ref_sample};
-        encode_block(em, c, p, k_state);
+        encode_block(em, c, p, k_state, sc);
     }
     if (p.flags & E_FLAG_PAD_RSI) em.pad_to_byte();
 }
@@ -510,6 +613,7 @@ struct EncSession {
     std::vector<uint8_t> out;
     size_t drained = 0;
     std::vector<uint32_t> x;  // one RSI of widened samples
+    std::vector<uint32_t> d;  // one RSI of Δ-mapped samples
 };
 
 // Encode `nb` whole blocks of widened samples already in s->x.
@@ -520,8 +624,12 @@ static void session_encode_blocks(EncSession* s, unsigned nb) {
     Emitter em(s->out.data() + base, worst);
     em.set_carry(s->acc, s->nbits);
     uint32_t ref_sample = s->x[0];
-    if (s->p.pp()) delta_rsi(s->x.data(), (size_t)nb * s->p.bs, s->p);
-    encode_rsi(em, s->x.data(), nb, ref_sample, s->p, &s->k_state);
+    const uint32_t* dptr = s->x.data();
+    if (s->p.pp()) {
+        delta_rsi(s->x.data(), s->d.data(), (size_t)nb * s->p.bs, s->p);
+        dptr = s->d.data();
+    }
+    encode_rsi(em, dptr, nb, ref_sample, s->p, &s->k_state);
     s->acc = em.carry_acc();
     s->nbits = em.carry_bits();
     s->out.resize(base + em.flushed_bytes());
@@ -540,6 +648,7 @@ void* aectpu_enc_new(unsigned bps, unsigned bs, unsigned rsi,
     EncSession* s = new EncSession;
     s->p = p;
     s->x.resize((size_t)rsi * bs);
+    s->d.resize((size_t)rsi * bs);
     return s;
 }
 
@@ -634,7 +743,7 @@ int aectpu_encode(const uint8_t* in, size_t in_len, uint8_t* out,
         return em.overflow() ? E_AEC_STREAM_ERROR : E_AEC_OK;
     }
 
-    std::vector<uint32_t> x(S);
+    std::vector<uint32_t> x(S), dbuf(S);
     int k_state = 0;
     size_t done = 0;
     while (done < n_samples) {
@@ -645,9 +754,12 @@ int aectpu_encode(const uint8_t* in, size_t in_len, uint8_t* out,
         size_t padded = (size_t)nb * bs;
         for (size_t i = take; i < padded; i++) x[i] = x[take - 1];
         uint32_t ref_sample = x[0];
-        if (p.pp())
-            delta_rsi(x.data(), padded, p);
-        encode_rsi(em, x.data(), nb, ref_sample, p, &k_state);
+        const uint32_t* dptr = x.data();
+        if (p.pp()) {
+            delta_rsi(x.data(), dbuf.data(), padded, p);
+            dptr = dbuf.data();
+        }
+        encode_rsi(em, dptr, nb, ref_sample, p, &k_state);
         done += take;
     }
     em.pad_to_byte();  // final zero-bit padding (encode.c:686-688)
