@@ -15,10 +15,12 @@
 //     threads chasing the scan.
 // Exit code 0 + no TSAN report = clean.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -29,6 +31,108 @@ int aectpu_scan_blocks(const uint8_t*, size_t, uint64_t, size_t, int,
                        uint64_t*, uint64_t*, uint32_t*, uint32_t*, uint32_t*,
                        int, size_t*, uint64_t*, unsigned, unsigned, unsigned,
                        unsigned, int);
+
+// C-ABI surface (libaec_abi.cpp): HDF5-style filters call these from
+// multiple threads with independent sessions; the stress proves the
+// layer has no hidden shared state.
+struct SZ_com_t {
+    int options_mask, bits_per_pixel, pixels_per_block, pixels_per_scanline;
+};
+int SZ_BufftoBuffCompress(void*, size_t*, const void*, size_t, SZ_com_t*);
+int SZ_BufftoBuffDecompress(void*, size_t*, const void*, size_t, SZ_com_t*);
+
+struct abi_stream {
+    const unsigned char* next_in;
+    size_t avail_in, total_in;
+    unsigned char* next_out;
+    size_t avail_out, total_out;
+    unsigned bits_per_sample, block_size, rsi, flags;
+    void* state;
+};
+int aec_encode_init(abi_stream*);
+int aec_encode(abi_stream*, int);
+int aec_encode_end(abi_stream*);
+int aec_decode_init(abi_stream*);
+int aec_decode(abi_stream*, int);
+int aec_decode_end(abi_stream*);
+}
+
+// One thread's C-ABI workload: SZ round trips plus chunked streaming
+// encode->decode sessions over a private slice of the sample data.
+static void abi_worker(const std::vector<uint8_t>& raw, int tid,
+                       std::atomic<int>* failures) {
+    const size_t n = raw.size();
+    // SZ round trip (scanline padding path: pps % ppb != 0)
+    SZ_com_t prm{16 | 32, 16, 16, 1000};
+    std::vector<uint8_t> comp(n + (1 << 16)), back(n);
+    for (int rep = 0; rep < 3; rep++) {
+        size_t clen = comp.size();
+        if (SZ_BufftoBuffCompress(comp.data(), &clen, raw.data(), n, &prm)) {
+            failures->fetch_add(1);
+            return;
+        }
+        size_t dlen = n;
+        if (SZ_BufftoBuffDecompress(back.data(), &dlen, comp.data(), clen,
+                                    &prm) ||
+            dlen != n || std::memcmp(back.data(), raw.data(), n) != 0) {
+            failures->fetch_add(1);
+            return;
+        }
+    }
+    // streaming encode -> streaming decode, 64 KiB buffers
+    const unsigned bps = 16, bs = 64, rsi = 64, flags = 4 | 8;
+    std::vector<uint8_t> enc;
+    {
+        abi_stream s{};
+        s.bits_per_sample = bps; s.block_size = bs; s.rsi = rsi;
+        s.flags = flags;
+        if (aec_encode_init(&s)) { failures->fetch_add(1); return; }
+        std::vector<uint8_t> buf(1 << 16);
+        for (size_t off = 0; off < n; off += (1 << 16)) {
+            size_t take = n - off < (1 << 16) ? n - off : (1 << 16);
+            s.next_in = raw.data() + off;
+            s.avail_in = take;
+            int flush = off + take >= n ? 1 : 0;
+            do {
+                s.next_out = buf.data();
+                s.avail_out = buf.size();
+                if (aec_encode(&s, flush)) { failures->fetch_add(1); return; }
+                enc.insert(enc.end(), buf.data(),
+                           buf.data() + (buf.size() - s.avail_out));
+            } while (s.avail_out == 0);
+        }
+        if (aec_encode_end(&s)) { failures->fetch_add(1); return; }
+    }
+    {
+        abi_stream s{};
+        s.bits_per_sample = bps; s.block_size = bs; s.rsi = rsi;
+        s.flags = flags;
+        if (aec_decode_init(&s)) { failures->fetch_add(1); return; }
+        std::vector<uint8_t> buf(1 << 16), dec;
+        for (size_t off = 0; off < enc.size(); off += (1 << 16)) {
+            size_t take =
+                enc.size() - off < (1 << 16) ? enc.size() - off : (1 << 16);
+            s.next_in = enc.data() + off;
+            s.avail_in = take;
+            int flush = off + take >= enc.size() ? 1 : 0;
+            do {
+                s.next_out = buf.data();
+                s.avail_out = buf.size();
+                if (aec_decode(&s, flush) < 0) {
+                    failures->fetch_add(1);
+                    return;
+                }
+                dec.insert(dec.end(), buf.data(),
+                           buf.data() + (buf.size() - s.avail_out));
+            } while (s.avail_out == 0);
+        }
+        if (aec_decode_end(&s)) { failures->fetch_add(1); return; }
+        if (dec.size() != n || std::memcmp(dec.data(), raw.data(), n) != 0) {
+            fprintf(stderr, "abi t=%d: stream round trip differs (%zu)\n",
+                    tid, dec.size());
+            failures->fetch_add(1);
+        }
+    }
 }
 
 int main(int argc, char** argv) {
@@ -90,7 +194,30 @@ int main(int argc, char** argv) {
             return 1;
         }
     }
-    printf("tsan_check: decode_parallel + scan_blocks clean over %s\n",
-           path);
+    // concurrent C-ABI sessions: 8 threads, each a private slice of the
+    // decoded data, SZ round trips + chunked streaming encode/decode
+    {
+        size_t written = 0;
+        aectpu_decode_parallel(in.data(), in.size(), 0, out.data(), out_cap,
+                               &written, bps, bs, rsi, flags, 1);
+        std::atomic<int> failures{0};
+        std::vector<std::thread> ths;
+        for (int t = 0; t < 8; t++)
+            ths.emplace_back([&, t] {
+                // staggered, overlapping slices so sessions differ
+                size_t lo = (size_t)t * (out_cap / 16);
+                std::vector<uint8_t> slice(out.begin() + lo,
+                                           out.begin() + lo + out_cap / 2);
+                abi_worker(slice, t, &failures);
+            });
+        for (auto& th : ths) th.join();
+        if (failures.load()) {
+            fprintf(stderr, "abi stress: %d failures\n", failures.load());
+            return 1;
+        }
+    }
+
+    printf("tsan_check: decode_parallel + scan_blocks + concurrent C-ABI "
+           "sessions clean over %s\n", path);
     return 0;
 }
