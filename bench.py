@@ -380,14 +380,22 @@ def main():
     dec_cpu = len(chunk_raw) / (1 << 20) / (time.time() - t0)
     assert st == 0 and out == chunk_raw, "cpu decode verify failed"
 
-    # native scalar encoder (the C-ABI / small-buffer path)
-    enc_cpu = 0.0
+    # native scalar encoder (the C-ABI / small-buffer path), single
+    # thread for a like-for-like comparison with the reference, plus the
+    # parallel path (decision pass + worker emit + parallel stitch)
+    enc_cpu = enc_cpu_mt = 0.0
     for _rep in range(3):
         t0 = time.time()
-        st, ncomp = native.encode(chunk_raw, CFG)
+        st, ncomp = native.encode(chunk_raw, CFG, threads=1)
         enc_cpu = max(enc_cpu,
                       len(chunk_raw) / (1 << 20) / (time.time() - t0))
     assert st == 0 and ncomp == comp, "native encode verify failed"
+    for _rep in range(3):
+        t0 = time.time()
+        st, ncomp = native.encode(chunk_raw, CFG)
+        enc_cpu_mt = max(enc_cpu_mt,
+                         len(chunk_raw) / (1 << 20) / (time.time() - t0))
+    assert st == 0 and ncomp == comp, "native parallel encode differs"
 
     ref_enc, ref_dec = bench_reference_cpu(chunk_raw, comp)
 
@@ -406,6 +414,7 @@ def main():
         "decode_e2e": round(dec_e2e, 1),
         "decode_cpu": round(dec_cpu, 1),
         "encode_cpu": round(enc_cpu, 1),
+        "encode_cpu_mt": round(enc_cpu_mt, 1),
         # same-run reference-library timings (paired measurement: machine
         # drift moves these with the repo numbers above)
         "ref_encode_cpu": round(ref_enc, 1) if ref_enc else None,

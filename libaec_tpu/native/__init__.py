@@ -101,15 +101,23 @@ def get_lib():
     return _lib
 
 
-def encode(data, cfg, out_cap=None):
-    """Native scalar one-shot encode.  Returns (status, bytes) or None if
-    the library is unavailable.  With out_cap given, status is
+def encode(data, cfg, out_cap=None, threads=None):
+    """Native one-shot encode.  Returns (status, bytes) or None if the
+    library is unavailable.  With out_cap given, status is
     AEC_STREAM_ERROR when the stream exceeds it and the bytes are the
-    first out_cap (aec_buffer_encode capacity semantics)."""
+    first out_cap (aec_buffer_encode capacity semantics).
+
+    threads > 1 routes to aectpu_encode_parallel (serial decision pass +
+    worker emit + parallel stitch, bit-identical by construction);
+    threads=None picks it automatically for multi-MiB buffers."""
     lib = get_lib()
     if lib is None:
         return None
     import numpy as np
+
+    if threads is None:
+        threads = min(os.cpu_count() or 1, 8) \
+            if len(data) >= (4 << 20) else 1
 
     # worst case mirrors encode.worst_case_bits_per_block: id + reference
     # sample + max(uncompressed payload, one 64-bit zero-run FS) per block,
@@ -125,11 +133,19 @@ def encode(data, cfg, out_cap=None):
     written = ctypes.c_size_t(0)
     inview = np.frombuffer(data, np.uint8) if len(data) else \
         np.empty(1, np.uint8)
-    status = lib.aectpu_encode(
-        inview.ctypes.data_as(ctypes.c_void_p), len(data),
-        out.ctypes.data_as(ctypes.c_void_p), cap, ctypes.byref(written),
-        cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
-    )
+    if threads > 1:
+        status = lib.aectpu_encode_parallel(
+            inview.ctypes.data_as(ctypes.c_void_p), len(data),
+            out.ctypes.data_as(ctypes.c_void_p), cap, ctypes.byref(written),
+            cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
+            threads,
+        )
+    else:
+        status = lib.aectpu_encode(
+            inview.ctypes.data_as(ctypes.c_void_p), len(data),
+            out.ctypes.data_as(ctypes.c_void_p), cap, ctypes.byref(written),
+            cfg.bits_per_sample, cfg.block_size, cfg.rsi, cfg.flags,
+        )
     n = min(written.value, cap)
     return status, out[:n].tobytes()
 

@@ -21,8 +21,11 @@
 //   final zero-bit flush + empty-input flush byte   encode.c:686-696
 //   AEC_PAD_RSI per-RSI byte alignment              encode.c:499-505
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <memory>
+#include <thread>
 #include <type_traits>
 #include <vector>
 
@@ -457,12 +460,17 @@ struct Batch {
     }
 };
 
-static void encode_block(Emitter& em, const BlockCtx& c, const EncParams& p,
-                         int* k_state, const BlockScan& sc) {
+// Per-block plan byte: 0xFF = all-zero block; otherwise (sel << 5) | k
+// with sel 0 = splitting, 1 = uncompressed, 2 = second extension.
+// Decision and emission are separate so the parallel encoder can run the
+// (serial, k-chained) decision pass ahead of (parallel) emission.
+constexpr uint8_t PLAN_ZERO = 0xFF;
+
+static uint8_t decide_block(const BlockCtx& c, const EncParams& p,
+                            int* k_state, const BlockScan& sc) {
     const int id_len = p.id_len();
     const uint32_t this_bs = c.bs - (c.ref ? 1 : 0);
     const uint64_t uncomp_len = (uint64_t)this_bs * p.bps;
-    const uint32_t mask = p.mask();
 
     uint64_t split_len64 = UINT64_MAX;
     int k = *k_state;
@@ -476,7 +484,24 @@ static void encode_block(Emitter& em, const BlockCtx& c, const EncParams& p,
     uint64_t se_bound = uncomp_len < split32 ? uncomp_len : split32;
     uint64_t se = se_len(c, se_bound);
 
-    if (split32 < uncomp_len && split32 < se) {  // splitting, id = k+1
+    unsigned sel;
+    if (split32 < uncomp_len && split32 < se)
+        sel = 0;
+    else if (!(split32 < uncomp_len) && uncomp_len <= se)
+        sel = 1;
+    else
+        sel = 2;
+    return (uint8_t)((sel << 5) | (unsigned)k);  // k <= 29 fits 5 bits
+}
+
+static void emit_block_planned(Emitter& em, const BlockCtx& c,
+                               const EncParams& p, uint8_t plan) {
+    const int id_len = p.id_len();
+    const uint32_t mask = p.mask();
+    const unsigned sel = plan >> 5;
+    const int k = plan & 31;
+
+    if (sel == 0) {  // splitting, id = k+1
         Batch b(em);
         b.push((uint32_t)k + 1, id_len);
         if (c.ref) b.push(c.ref_sample & mask, p.bps);
@@ -525,7 +550,7 @@ static void encode_block(Emitter& em, const BlockCtx& c, const EncParams& p,
             for (; j < c.bs; j++) b.push(c.d[j] & km, k);
         }
         b.flush();
-    } else if (!(split32 < uncomp_len) && uncomp_len <= se) {  // uncomp
+    } else if (sel == 1) {  // uncompressed, id = all-ones
         Batch b(em);
         b.push((1u << id_len) - 1, id_len);
         for (unsigned i = 0; i < c.bs; i++) {
@@ -541,6 +566,12 @@ static void encode_block(Emitter& em, const BlockCtx& c, const EncParams& p,
             em.emit_fs(s * (s + 1) / 2 + c.d[i + 1]);
         }
     }
+}
+
+static inline void encode_block(Emitter& em, const BlockCtx& c,
+                                const EncParams& p, int* k_state,
+                                const BlockScan& sc) {
+    emit_block_planned(em, c, p, decide_block(c, p, k_state, sc));
 }
 
 // Encode one RSI's worth of preprocessed samples (nb whole blocks).
@@ -566,6 +597,32 @@ static void encode_rsi(Emitter& em, const uint32_t* d, unsigned nb,
         if (z.count) emit_zero_run(em, z, p, /*at_seg_end=*/false);
         BlockCtx c{db, bs, ref, ref_sample};
         encode_block(em, c, p, k_state, sc);
+    }
+    if (p.flags & E_FLAG_PAD_RSI) em.pad_to_byte();
+}
+
+// Emit one RSI from recorded per-block plans (parallel pass 2): identical
+// control flow to encode_rsi, with scan/walk/SE replaced by plan bytes.
+static void encode_rsi_planned(Emitter& em, const uint32_t* d, unsigned nb,
+                               uint32_t ref_sample, const EncParams& p,
+                               const uint8_t* plans) {
+    const unsigned bs = p.bs;
+    ZeroRun z;
+    for (unsigned b = 0; b < nb; b++) {
+        bool ref = p.pp() && b == 0;
+        if (plans[b] == PLAN_ZERO) {
+            if (z.count == 0 && ref) {
+                z.ref = true;
+                z.ref_sample = ref_sample;
+            }
+            z.count++;
+            if (b % 64 == 63 || b == nb - 1)
+                emit_zero_run(em, z, p, /*at_seg_end=*/true);
+            continue;
+        }
+        if (z.count) emit_zero_run(em, z, p, /*at_seg_end=*/false);
+        BlockCtx c{d + (size_t)b * bs, bs, ref, ref_sample};
+        emit_block_planned(em, c, p, plans[b]);
     }
     if (p.flags & E_FLAG_PAD_RSI) em.pad_to_byte();
 }
@@ -765,6 +822,249 @@ int aectpu_encode(const uint8_t* in, size_t in_len, uint8_t* out,
     em.pad_to_byte();  // final zero-bit padding (encode.c:686-688)
     *out_written = em.total_bytes();
     return em.overflow() ? E_AEC_STREAM_ERROR : E_AEC_OK;
+}
+
+// Parallel one-shot encode, bit-identical to aectpu_encode by
+// construction.  The format's k warm-start chains through every non-zero
+// block, so the DECISION pass (widen + Δ + block scan/walk/SE) stays
+// serial on the calling thread; workers chase its published frontier and
+// EMIT whole RSIs into private buffers from recorded plan bytes (RSIs are
+// otherwise independent: predictor reference and zero-run state reset at
+// each RSI, encode.c:252-254, 649-655).  A final parallel stitch
+// shift-ORs the per-RSI substreams at their exact bit offsets -- the same
+// offset-prefix-sum assembly the TPU mesh encoder uses (parallel/dist.py),
+// here over threads instead of chips.  Windowed to bound memory.
+int aectpu_encode_parallel(const uint8_t* in, size_t in_len, uint8_t* out,
+                           size_t out_cap, size_t* out_written,
+                           unsigned bps, unsigned bs, unsigned rsi,
+                           unsigned flags, int n_threads) {
+    EncParams p{bps, bs, rsi, flags};
+    if (!params_valid(p)) return E_AEC_CONF_ERROR;
+    const int bsz = p.bytes_per_sample();
+    const bool msb = flags & E_FLAG_MSB;
+    const size_t S = (size_t)rsi * bs;
+    const size_t n_samples = in_len / bsz;
+    const size_t n_rsis = (n_samples + S - 1) / S;
+    if (n_threads <= 1 || n_rsis < 4)
+        return aectpu_encode(in, in_len, out, out_cap, out_written, bps, bs,
+                             rsi, flags);
+
+    const size_t WINDOW = n_rsis < 512 ? n_rsis : 512;
+    const size_t worst = worst_rsi_bytes(p);
+    // big scratch stays UNINITIALISED (std::vector's zero-fill of the
+    // ~50 MB working set costs more than a whole pass over the input)
+    std::unique_ptr<uint32_t[]> x(new uint32_t[S]);
+    std::unique_ptr<uint32_t[]> d_all(new uint32_t[WINDOW * S]);
+    std::unique_ptr<uint8_t[]> plans(new uint8_t[WINDOW * rsi]);
+    std::unique_ptr<uint8_t[]> bufs(new uint8_t[WINDOW * worst]);
+    std::vector<uint32_t> refs(WINDOW);
+    std::vector<unsigned> nbs(WINDOW);
+    std::vector<uint64_t> Lbits(WINDOW), offs(WINDOW);
+    std::vector<uint8_t> tails(WINDOW);
+
+    int k_state = 0;
+    uint64_t bitpos = 0;      // absolute output bit cursor
+    uint8_t carry_tail = 0;   // pending partial byte from previous window
+    bool overflow = false;
+
+    size_t r0 = 0;
+    while (r0 < n_rsis) {
+        const size_t nw = n_rsis - r0 < WINDOW ? n_rsis - r0 : WINDOW;
+        // Three stages per window, work-stolen across all threads:
+        //   delta (parallel): widen + Δ into d_all[r]
+        //   decide (serial, this thread): block scan + k-walk chain
+        //   emit (parallel): per-RSI bitstream from the recorded plans
+        std::atomic<size_t> delta_claim{0};
+        std::atomic<size_t> decide_pub{0};
+        std::atomic<size_t> emit_claim{0};
+        std::vector<std::atomic<uint8_t>> delta_done(nw);
+        for (auto& f : delta_done) f.store(0, std::memory_order_relaxed);
+
+        auto do_delta = [&](size_t r, uint32_t* xbuf) {
+            size_t done_s = (r0 + r) * S;
+            size_t take = n_samples - done_s < S ? n_samples - done_s : S;
+            read_samples(in + done_s * (size_t)bsz, take, bsz, msb, xbuf);
+            unsigned nb = (unsigned)((take + bs - 1) / bs);
+            size_t padded = (size_t)nb * bs;
+            for (size_t i = take; i < padded; i++) xbuf[i] = xbuf[take - 1];
+            nbs[r] = nb;
+            refs[r] = xbuf[0];
+            uint32_t* dr = d_all.get() + r * S;
+            if (p.pp())
+                delta_rsi(xbuf, dr, padded, p);
+            else
+                std::memcpy(dr, xbuf, padded * 4);
+            delta_done[r].store(1, std::memory_order_release);
+        };
+        auto do_emit = [&](size_t r) {
+            Emitter em(bufs.get() + r * worst, worst);
+            encode_rsi_planned(em, d_all.get() + r * S, nbs[r], refs[r], p,
+                               plans.get() + r * rsi);
+            Lbits[r] = 8 * em.flushed_bytes() + em.carry_bits();
+            em.pad_to_byte();
+        };
+
+        auto emit_worker = [&]() {
+            std::unique_ptr<uint32_t[]> xbuf(new uint32_t[S]);
+            for (;;) {
+                size_t r = emit_claim.fetch_add(1,
+                                                std::memory_order_relaxed);
+                if (r >= nw) return;
+                // while waiting for the decide frontier, run delta work
+                // ahead of it instead of spinning
+                while (r >= decide_pub.load(std::memory_order_acquire)) {
+                    size_t dr = delta_claim.load(std::memory_order_relaxed);
+                    if (dr < nw &&
+                        delta_claim.compare_exchange_weak(
+                            dr, dr + 1, std::memory_order_relaxed)) {
+                        do_delta(dr, xbuf.get());
+                    } else {
+                        std::this_thread::yield();
+                    }
+                }
+                do_emit(r);
+            }
+        };
+        std::vector<std::thread> pool;
+        for (int t = 0; t < n_threads - 1; t++)
+            pool.emplace_back(emit_worker);
+
+        // decide chain (serial): consume deltas in order, helping with
+        // delta work whenever the needed RSI is not ready yet
+        for (size_t r = 0; r < nw; r++) {
+            while (!delta_done[r].load(std::memory_order_acquire)) {
+                size_t dr = delta_claim.load(std::memory_order_relaxed);
+                if (dr < nw &&
+                    delta_claim.compare_exchange_weak(
+                        dr, dr + 1, std::memory_order_relaxed)) {
+                    do_delta(dr, x.get());
+                } else {
+                    std::this_thread::yield();
+                }
+            }
+            const uint32_t* dr = d_all.get() + r * S;
+            uint8_t* pr = plans.get() + r * rsi;
+            unsigned nb = nbs[r];
+            for (unsigned b = 0; b < nb; b++) {
+                const uint32_t* db = dr + (size_t)b * bs;
+                BlockScan sc = scan_block(db, bs, k_state);
+                if (!sc.orv) {
+                    pr[b] = PLAN_ZERO;
+                    continue;
+                }
+                BlockCtx c{db, bs, p.pp() && b == 0, refs[r]};
+                pr[b] = decide_block(c, p, &k_state, sc);
+            }
+            decide_pub.store(r + 1, std::memory_order_release);
+        }
+        emit_worker();  // the decision thread joins the emit pool
+        for (auto& t : pool) t.join();
+
+        // offsets + serial tail-byte chain (tiny; see stitch ownership)
+        for (size_t r = 0; r < nw; r++) {
+            offs[r] = bitpos;
+            bitpos += Lbits[r];
+        }
+        uint8_t prev_tail = carry_tail;
+        for (size_t r = 0; r < nw; r++) {
+            const uint8_t* B = bufs.get() + r * worst;
+            uint64_t ob = offs[r], L = Lbits[r];
+            unsigned s = (unsigned)(ob & 7);
+            uint64_t end = ob + L;
+            uint8_t t;
+            if (end & 7) {
+                // shifted last partial byte of stream r
+                uint64_t last = (end >> 3) - (ob >> 3);  // byte idx in out
+                // source bits for out byte `last`: stream bytes around
+                // (last*8 - s)
+                size_t m = (size_t)((L + 7) / 8);
+                auto src = [&](int64_t j) -> uint32_t {
+                    return (j >= 0 && (size_t)j < m) ? B[j] : 0;
+                };
+                int64_t j = (int64_t)last - 1;  // B index feeding high bits
+                t = (uint8_t)((src(j) << (8 - s)) | (src(j + 1) >> s));
+                if (s == 0) t = (uint8_t)src(last);
+                if ((ob >> 3) == (end >> 3) && s)
+                    t |= prev_tail;  // stream lives inside the shared byte
+            } else {
+                t = 0;
+            }
+            tails[r] = t;
+            prev_tail = t;
+        }
+
+        // parallel stitch: each RSI writes bytes [a, b) of the output,
+        // where a = off/8 (OR'd with the previous stream's tail bits) and
+        // b = (off+L)/8; the trailing partial byte is owned by whichever
+        // stream extends it next (tails chain above)
+        std::atomic<size_t> srnext{0};
+        auto stitch_worker = [&]() {
+            for (;;) {
+                size_t r = srnext.fetch_add(1, std::memory_order_relaxed);
+                if (r >= nw) return;
+                const uint8_t* B = bufs.get() + r * worst;
+                uint64_t ob = offs[r], L = Lbits[r];
+                size_t a = (size_t)(ob >> 3), bend = (size_t)((ob + L) >> 3);
+                unsigned s = (unsigned)(ob & 7);
+                uint8_t pt = r == 0 ? carry_tail : tails[r - 1];
+                size_t m = (size_t)((L + 7) / 8);
+                if (a >= bend) continue;
+                size_t lim = bend < out_cap ? bend : out_cap;
+                size_t n = lim > a ? lim - a : 0;
+                if (!n) continue;
+                if (s == 0) {
+                    std::memcpy(out + a, B, n);
+                } else {
+                    // dst[j] = (B[j-1] << (8-s)) | (B[j] >> s): eight
+                    // dest bytes per pair of unaligned big-endian loads
+                    size_t j = 0;
+                    out[a] = (uint8_t)(B[0] >> s);
+                    j = 1;
+                    while (j + 8 <= n && j + 8 < m) {
+                        uint64_t w0, w1;
+                        std::memcpy(&w0, B + j - 1, 8);
+                        std::memcpy(&w1, B + j, 8);
+#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+                        w0 = __builtin_bswap64(w0);
+                        w1 = __builtin_bswap64(w1);
+#endif
+                        uint64_t d64 = (w0 << (8 - s)) | (w1 >> s);
+#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+                        d64 = __builtin_bswap64(d64);
+#endif
+                        std::memcpy(out + a + j, &d64, 8);
+                        j += 8;
+                    }
+                    for (; j < n; j++) {
+                        uint8_t lo = (j < m) ? (uint8_t)(B[j] >> s) : 0;
+                        out[a + j] =
+                            (uint8_t)((B[j - 1] << (8 - s)) | lo);
+                    }
+                }
+                if (a < out_cap) out[a] |= pt;
+            }
+        };
+        std::vector<std::thread> spool;
+        for (int t = 0; t < n_threads - 1; t++)
+            spool.emplace_back(stitch_worker);
+        stitch_worker();
+        for (auto& t : spool) t.join();
+
+        carry_tail = nw ? tails[nw - 1] : carry_tail;
+        r0 += nw;
+    }
+
+    // final partial byte (zero-padded by construction of the tails)
+    if (bitpos & 7) {
+        size_t last = (size_t)(bitpos >> 3);
+        if (last < out_cap)
+            out[last] = carry_tail;
+    }
+    // (n_samples == 0 routed to the serial path above: n_rsis < 4)
+    size_t total = (size_t)((bitpos + 7) / 8);
+    *out_written = total;
+    if (total > out_cap) overflow = true;
+    return overflow ? E_AEC_STREAM_ERROR : E_AEC_OK;
 }
 
 }  // extern "C"

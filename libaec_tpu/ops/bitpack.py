@@ -208,7 +208,7 @@ def merge_block_windows(B, win, block_bits, bit0, local_words, nwords,
     return merge_groups_scan(B, win, lens, bit0, nwords)
 
 
-def merge_groups_scan(B, win, lens, bit0, nwords):
+def merge_groups_scan(B, win, lens, bit0, nwords, unroll=None):
     """Stage C: sequential merge of group windows (win u32 [NG, GW], lens
     u32 [NG]) into the packed stream at their exclusive-prefix bit offsets.
     Returns (words u32 [nwords], total_bits u32 incl. bit0)."""
@@ -238,7 +238,10 @@ def merge_groups_scan(B, win, lens, bit0, nwords):
     # (~4 us/step measured), which dominates this latency-bound stage.
     # (Tried and rejected: K interleaved chains into private buffers --
     # the extra zero-init + OR-merge traffic cost more than it hid.)
-    unroll = 8 if win_shifted.shape[0] % 8 == 0 else 1
+    if unroll is None:
+        unroll = 8 if win_shifted.shape[0] % 8 == 0 else 1
+    elif win_shifted.shape[0] % unroll != 0:
+        unroll = 1
     buf, _ = jax.lax.scan(body, buf, (win_shifted, gofs), unroll=unroll)
     return buf, total_bits
 

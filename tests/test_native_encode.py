@@ -87,3 +87,33 @@ def test_default_route_uses_native_small(monkeypatch):
     assert encode_buffer(raw, cfg) == want
     monkeypatch.setenv("LIBAEC_TPU_ENCODE", "auto")
     assert encode_buffer(raw, cfg) == want
+
+
+@pytest.mark.parametrize("bps,bs,rsi,flags", CASES)
+def test_parallel_encode_bit_identical(bps, bs, rsi, flags):
+    """aectpu_encode_parallel (serial decision pass + worker emit +
+    parallel stitch) must be bit-identical to the serial encoder for any
+    thread count, including partial trailing RSIs."""
+    cfg = Config(bps, bs, rsi, flags)
+    rng = np.random.default_rng(bps * 7 + rsi)
+    for kind in ("lowentropy", "midentropy", "zeros"):
+        n = 11 * cfg.samples_per_rsi + 37  # partial tail RSI
+        data = _data(cfg, kind, n, rng)
+        st1, serial = native.encode(bytes(data), cfg, threads=1)
+        for threads in (2, 5):
+            st2, par = native.encode(bytes(data), cfg, threads=threads)
+            assert st2 == st1
+            assert par == serial, (bps, bs, rsi, flags, kind, threads)
+
+
+def test_parallel_encode_capacity():
+    """Capacity semantics match the serial path: full size reported with
+    AEC_STREAM_ERROR, first out_cap bytes delivered."""
+    cfg = Config(16, 64, 64, AEC_DATA_MSB | AEC_DATA_PREPROCESS)
+    rng = np.random.default_rng(3)
+    data = _data(cfg, "midentropy", 9 * cfg.samples_per_rsi, rng)
+    st, full = native.encode(bytes(data), cfg, threads=1)
+    assert st == 0
+    st2, cut = native.encode(bytes(data), cfg, out_cap=1000, threads=4)
+    assert st2 == AEC_STREAM_ERROR
+    assert cut == full[:1000]

@@ -55,6 +55,11 @@ int aec_encode_end(abi_stream*);
 int aec_decode_init(abi_stream*);
 int aec_decode(abi_stream*, int);
 int aec_decode_end(abi_stream*);
+int aectpu_encode(const uint8_t*, size_t, uint8_t*, size_t, size_t*,
+                  unsigned, unsigned, unsigned, unsigned);
+int aectpu_encode_parallel(const uint8_t*, size_t, uint8_t*, size_t,
+                           size_t*, unsigned, unsigned, unsigned, unsigned,
+                           int);
 }
 
 // One thread's C-ABI workload: SZ round trips plus chunked streaming
@@ -217,7 +222,28 @@ int main(int argc, char** argv) {
         }
     }
 
-    printf("tsan_check: decode_parallel + scan_blocks + concurrent C-ABI "
-           "sessions clean over %s\n", path);
+    // parallel encoder's work-stealing pools (delta/decide/emit + stitch)
+    {
+        std::vector<uint8_t> enc_ref(out_cap + (1 << 20));
+        std::vector<uint8_t> enc(out_cap + (1 << 20));
+        size_t wr = 0;
+        aectpu_encode(out.data(), out_cap, enc_ref.data(), enc_ref.size(),
+                      &wr, bps, bs, rsi, flags);
+        for (int threads : {2, 4, 8}) {
+            size_t w2 = 0;
+            int st = aectpu_encode_parallel(out.data(), out_cap, enc.data(),
+                                            enc.size(), &w2, bps, bs, rsi,
+                                            flags, threads);
+            if (st != 0 || w2 != wr ||
+                std::memcmp(enc.data(), enc_ref.data(), wr) != 0) {
+                fprintf(stderr, "encode_parallel t=%d: st=%d w=%zu/%zu\n",
+                        threads, st, w2, wr);
+                return 1;
+            }
+        }
+    }
+
+    printf("tsan_check: decode_parallel + scan_blocks + encode_parallel + "
+           "concurrent C-ABI sessions clean over %s\n", path);
     return 0;
 }
