@@ -257,6 +257,37 @@ def bench_decode_device(comp, raw):
     return mib / per_iter, mib / t_scan, mib / per_pipe
 
 
+def bench_decode_scan_pad(raw):
+    """Host structural-scan rate over an AEC_PAD_RSI stream of the same
+    data (byte-aligned RSI starts, decode.c:406-409).  Recorded so the
+    PAD path's phase-1 cost is visible next to the plain stream's: the
+    padding realignment is one masked seek per RSI, so the two should
+    track each other.  (A speculative parallel scan exploiting the byte
+    alignment was analysed and rejected -- Rice streams have no markers
+    to validate a mid-stream guess against; docs/DESIGN.md §3.)"""
+    from libaec_tpu.constants import AEC_PAD_RSI
+    from libaec_tpu.ops import bitunpack
+
+    cfg_pad = Config(CFG.bits_per_sample, CFG.block_size, CFG.rsi,
+                     CFG.flags | AEC_PAD_RSI)
+    st, comp_pad = native.encode(raw, cfg_pad)
+    assert st == 0
+    st, back = native.decode(comp_pad, len(raw), cfg_pad)
+    assert st == 0 and back == raw, "PAD_RSI round trip failed"
+    n_rsis = len(raw) // cfg_pad.rsi_len_bytes
+    wf = bitunpack.window_words(cfg_pad)
+    arena = native.ScanArena(n_rsis * cfg_pad.rsi, wf)
+    t_scan = float("inf")
+    for _rep in range(3):
+        t0 = time.time()
+        recs, n_ok, _ = native.scan_blocks(
+            comp_pad, n_rsis, bitunpack.max_fs_bits(cfg_pad), cfg_pad,
+            wf=wf, arena=arena)
+        t_scan = min(t_scan, time.time() - t0)
+    assert n_ok == n_rsis
+    return len(raw) / (1 << 20) / t_scan
+
+
 def bench_reference_cpu(raw, comp):
     """Same-run, same-buffer timings of the reference C library
     (.refbuild/src/libaec.so, the oracle build), so the native-CPU claims
@@ -397,6 +428,8 @@ def main():
                          len(chunk_raw) / (1 << 20) / (time.time() - t0))
     assert st == 0 and ncomp == comp, "native parallel encode differs"
 
+    dec_scan_pad = bench_decode_scan_pad(chunk_raw)
+
     ref_enc, ref_dec = bench_reference_cpu(chunk_raw, comp)
 
     result = {
@@ -410,6 +443,7 @@ def main():
         "decode_device_vs_baseline": round(
             dec_device / DECODE_BASELINE_MIBS, 3),
         "decode_scan": round(dec_scan, 1),
+        "decode_scan_pad": round(dec_scan_pad, 1),
         "decode_stream": round(dec_stream, 1),
         "decode_e2e": round(dec_e2e, 1),
         "decode_cpu": round(dec_cpu, 1),

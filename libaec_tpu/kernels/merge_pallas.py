@@ -64,11 +64,22 @@ def _level_caps(local_words, group, prepack):
     return caps
 
 
+# Rows-per-tile threshold for the per-row dynamic-roll word shifter (one
+# wide pltpu.roll per row from an SMEM scalar, instead of the
+# log-decomposition select chain's ~log2(max_o) wide passes per level).
+# MEASURED SLOWER on v5e at 32 (tree 1.04 -> 1.23 ms for the bench
+# chunk): Mosaic's dynamic lane rotate plus the [1, W] row concats cost
+# more than the select chain saves.  Kept at 0 (disabled) for the
+# record; the experiment is one constant away.
+ROLL_MAX_ROWS = 0
+
+
 def _merge_tile_kernel(*refs, levels, local_words, GWout, prepack, caps):
     win_ref = refs[0]
     o_refs = refs[1:1 + levels]
     sh_refs = refs[1 + levels:1 + 2 * levels]
-    gwin_ref = refs[1 + 2 * levels]
+    osm_refs = refs[1 + 2 * levels:1 + 3 * levels]  # SMEM copies of o
+    gwin_ref = refs[1 + 3 * levels]
 
     u32 = jnp.uint32
     arr = win_ref[:]                       # [Rt(, /2), W0pad] u32
@@ -107,37 +118,60 @@ def _merge_tile_kernel(*refs, levels, local_words, GWout, prepack, caps):
         sh = sh_refs[lvl0 + i][0][:R // 2].astype(u32)  # [R/2, 1] bit shift
 
         W_new = caps[i]                    # node-worst cap, >= W
-        # the right node's content is at most its own (smaller) cap wide;
-        # funnel-shift at width min(W+1, W_new) and let the width grow with
-        # the word shifts instead of paying W_new on every pass -- the
-        # early (small) steps then run at roughly half the final width.
-        # Truncation to W_new is safe: right content + funnel spill fits
-        # the right node's cap + 1 <= W_new.
-        rbW = min(W + 1, W_new)
-        rb = jnp.pad(r_win, ((0, 0), (0, 1)))[:, :rbW]
-        prev = jnp.pad(r_win, ((0, 0), (1, 0)))[:, :rbW]
-        rb = (rb >> sh) | jnp.where(
-            sh == 0, u32(0), prev << ((u32(32) - sh) & u32(31)))
-        curW = rbW
 
-        blocks_left = (1 << (i + 1)) if prepack else (1 << i)
-        max_o = min(W_new, blocks_left * (local_words - 1))
-        b = 0
-        while (1 << b) <= max_o:
-            s = 1 << b
-            newW = min(W_new, curW + s)
-            if newW > curW:
-                rb = jnp.pad(rb, ((0, 0), (0, newW - curW)))
-            if s >= newW:
-                shifted = jnp.zeros_like(rb)
-            else:
-                shifted = jnp.pad(rb, ((0, 0), (s, 0)))[:, :newW]
-            bit = ((o >> b) & 1) != 0
-            rb = jnp.where(bit, shifted, rb)
-            curW = newW
-            b += 1
-        if curW < W_new:
-            rb = jnp.pad(rb, ((0, 0), (0, W_new - curW)))
+        if R // 2 <= ROLL_MAX_ROWS:
+            # few wide rows: funnel-shift vectorised, then ONE dynamic
+            # lane roll per row (pltpu.roll with a scalar word shift from
+            # SMEM) replaces the whole log-decomposition select chain --
+            # the chain costs ~log2(max_o) wide passes regardless of row
+            # count, the roll costs one wide pass per row
+            rb = jnp.pad(r_win, ((0, 0), (0, W_new - W)))
+            prev = jnp.pad(r_win, ((0, 0), (1, W_new - W)))[:, :W_new]
+            rb = (rb >> sh) | jnp.where(
+                sh == 0, u32(0), prev << ((u32(32) - sh) & u32(31)))
+            osm = osm_refs[lvl0 + i]
+            lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, W_new), 1)
+            rows = []
+            for r in range(R // 2):
+                ow = osm[0, 0, r]          # scalar i32 word shift
+                # pltpu.roll(x, q)[j] = x[(j - q) % n]: right-shift by q
+                rolled = pltpu.roll(rb[r:r + 1, :], ow, axis=1)
+                rows.append(jnp.where(lane1 < ow, u32(0), rolled))
+            rb = jnp.concatenate(rows, axis=0) if len(rows) > 1 \
+                else rows[0]
+        else:
+            # the right node's content is at most its own (smaller) cap
+            # wide; funnel-shift at width min(W+1, W_new) and let the
+            # width grow with the word shifts instead of paying W_new on
+            # every pass -- the early (small) steps then run at roughly
+            # half the final width.  Truncation to W_new is safe: right
+            # content + funnel spill fits the right node's cap + 1 <=
+            # W_new.
+            rbW = min(W + 1, W_new)
+            rb = jnp.pad(r_win, ((0, 0), (0, 1)))[:, :rbW]
+            prev = jnp.pad(r_win, ((0, 0), (1, 0)))[:, :rbW]
+            rb = (rb >> sh) | jnp.where(
+                sh == 0, u32(0), prev << ((u32(32) - sh) & u32(31)))
+            curW = rbW
+
+            blocks_left = (1 << (i + 1)) if prepack else (1 << i)
+            max_o = min(W_new, blocks_left * (local_words - 1))
+            b = 0
+            while (1 << b) <= max_o:
+                s = 1 << b
+                newW = min(W_new, curW + s)
+                if newW > curW:
+                    rb = jnp.pad(rb, ((0, 0), (0, newW - curW)))
+                if s >= newW:
+                    shifted = jnp.zeros_like(rb)
+                else:
+                    shifted = jnp.pad(rb, ((0, 0), (s, 0)))[:, :newW]
+                bit = ((o >> b) & 1) != 0
+                rb = jnp.where(bit, shifted, rb)
+                curW = newW
+                b += 1
+            if curW < W_new:
+                rb = jnp.pad(rb, ((0, 0), (0, W_new - curW)))
 
         arr = jnp.pad(l_win, ((0, 0), (0, W_new - W))) + rb
 
@@ -176,6 +210,13 @@ def _build_merge_call(NB, W0, local_words, group, interpret):
         rt = max(Rt >> (lvl + 1), 8)
         in_specs.append(pl.BlockSpec((1, rt, 1), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
+    # SMEM copies of the per-level word shifts, for the per-row dynamic
+    # rolls at the late (few-row) levels.  3-D so the block's last two
+    # dims EQUAL the array's (Mosaic's block-shape divisibility rule).
+    for lvl in range(levels):
+        rt = max(Rt >> (lvl + 1), 8)
+        in_specs.append(pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.SMEM))
 
     call = pl.pallas_call(
         kern,
@@ -220,13 +261,17 @@ def merge_to_groups_pallas(win, block_bits, local_words, group,
         sh_arrs.append(l_len & jnp.uint32(31))
         node = pair.sum(axis=1, dtype=jnp.uint32)
 
-    def tile3(a):
+    def tile2(a):
         rt = a.shape[0] // n_tiles
         a = a.reshape(n_tiles, rt)
         if rt < 8:
             a = jnp.pad(a, ((0, 0), (0, 8 - rt)))
-        return a[:, :, None]
+        return a
+
+    def tile3(a):
+        return tile2(a)[:, :, None]
 
     gwin = call(win, *[tile3(a) for a in o_arrs],
-                *[tile3(a) for a in sh_arrs])
+                *[tile3(a) for a in sh_arrs],
+                *[tile2(a)[:, None, :] for a in o_arrs])
     return gwin, node
