@@ -190,20 +190,25 @@ def bench_decode_device(comp, raw):
     import jax
     import jax.numpy as jnp
 
-    from libaec_tpu.decode import _jax_decode_fn, scan_record_arrays
+    from libaec_tpu.decode import (_jax_decode_fn, scan_chunk_bucketed,
+                                   scan_record_arrays)
     from libaec_tpu.ops import bitunpack
 
     n_rsis = len(raw) // CFG.rsi_len_bytes
-    max_fs = bitunpack.max_fs_bits(CFG)
-    wf = bitunpack.window_words(CFG)
-    # arena-pooled scan, exactly as decode_buffer_tpu runs it in production
-    arena = native.ScanArena(n_rsis * CFG.rsi, wf)
+    # production phase 1, exactly as decode_buffer_tpu runs it: a
+    # records-only walk, then the window fill at the PER-CHUNK BUCKETED
+    # width (typically 4x narrower than the worst-case window)
+    arena = native.ScanArena(n_rsis * CFG.rsi, 0)
+    wpool = {}
     t_scan = float("inf")
     for _rep in range(3):
         t0 = time.time()
-        recs, n_ok, _ = native.scan_blocks(comp, n_rsis, max_fs, CFG,
-                                           wf=wf, arena=arena)
+        recs, n_ok, _tail, wf_b = scan_chunk_bucketed(
+            comp, n_rsis, CFG, arena=arena, win_pool=wpool)
         t_scan = min(t_scan, time.time() - t0)
+        wv = recs["win"]
+        wpool.setdefault(wf_b, []).append(
+            wv.base if wv.base is not None else wv)
     assert n_ok == n_rsis
     arrs = [jax.device_put(a) for a in scan_record_arrays(recs)]
     fn = _jax_decode_fn(CFG, n_rsis)
@@ -226,21 +231,25 @@ def bench_decode_device(comp, raw):
     mib = len(raw) / (1 << 20)
 
     # Pipelined single-stream rate: while the device runs n decode
-    # iterations (async dispatch), the host runs n FULL fresh structural
-    # scans (records + windows, pooled arenas) -- the decode_buffer_tpu
-    # overlap.  Slope between n and 3n cancels the dispatch+sync constant;
-    # the per-iteration time converges to max(scan, device), i.e. the
-    # sustained rate of the two-phase pipeline on one stream.  Staging is
-    # excluded for the same reason it is in decode_device: the axon dev
-    # tunnel (~40 MiB/s) is not the PCIe/DMA path of a real TPU host.
-    pool = [native.ScanArena(n_rsis * CFG.rsi, wf) for _ in range(2)]
+    # iterations (async dispatch), the host runs n FULL fresh phase-1
+    # passes (records walk + bucketed window fill, pooled arenas) -- the
+    # decode_buffer_tpu overlap.  Slope between n and 3n cancels the
+    # dispatch+sync constant; the per-iteration time converges to
+    # max(phase1, device), i.e. the sustained rate of the two-phase
+    # pipeline on one stream.  Staging is excluded for the same reason it
+    # is in decode_device: the axon dev tunnel (~40 MiB/s) is not the
+    # PCIe/DMA path of a real TPU host.
+    pool = [native.ScanArena(n_rsis * CFG.rsi, 0) for _ in range(2)]
 
     def pipelined(n, loop):
         t0 = time.time()
         res = loop()  # async device dispatch of n decode iterations
         for i in range(n):
-            native.scan_blocks(comp, n_rsis, max_fs, CFG, wf=wf,
-                               arena=pool[i % 2])
+            r, _n, _t, wb = scan_chunk_bucketed(
+                comp, n_rsis, CFG, arena=pool[i % 2], win_pool=wpool)
+            wv = r["win"]
+            wpool.setdefault(wb, []).append(
+                wv.base if wv.base is not None else wv)
         np.asarray(res)  # device sync
         return time.time() - t0
 

@@ -154,6 +154,65 @@ def scan_record_arrays(recs):
     )
 
 
+# Per-chunk window-width buckets (words).  The worst-case conforming
+# window (ops/bitunpack.window_words: bs*bps/32 + 2 = 34 for the bench
+# config) covers an uncompressed payload, but typical data's largest
+# payload is a split block of ~bs*(k+2) bits -- 4-8 words.  Sizing the
+# windows from the chunk's ACTUAL max span cuts the fill memcpys, the
+# H2D staging and the device kernel's VMEM traffic by the same factor;
+# bucketing keeps the set of compiled kernel shapes small.
+WF_BUCKETS = (6, 10, 18)
+
+
+def _bucket_wf(cfg, recs, tail_bit):
+    """Smallest bucketed window width covering every payload span in the
+    chunk (in words, incl. the <=31-bit in-word start offset).  The span
+    bound is the distance between consecutive non-zero payload starts
+    (which over-counts by the next block's header -- safe)."""
+    from .ops import bitunpack
+
+    wf_max = bitunpack.window_words(cfg)
+    fs_off = recs["fs_off"]
+    nz = fs_off[(recs["meta"] & np.uint32(3)) != 0]
+    if len(nz) == 0:
+        return min(WF_BUCKETS[0], wf_max)
+    ends = np.append(nz[1:], np.uint64(tail_bit))
+    span = int((ends - nz).max())
+    need = (31 + span + 31) // 32 + 1
+    for b in WF_BUCKETS:
+        if need <= b <= wf_max:
+            return b
+    return wf_max
+
+
+def scan_chunk_bucketed(data, ask, cfg, start_bit=0, arena=None,
+                        win_pool=None, fill_threads=None):
+    """One scan chunk with per-chunk window bucketing: records-only walk
+    (wf=0), width bucketed from the actual max payload span, windows
+    filled by the standalone threaded fill.  Returns (recs, cnt,
+    tail_bit, wf_b) with recs["win"] sized [n, wf_b], or None without the
+    native library.  win_pool (dict wf -> [buffers]) recycles fill
+    buffers across chunks."""
+    from .ops import bitunpack
+
+    res = native.scan_blocks(data, ask, bitunpack.max_fs_bits(cfg), cfg,
+                             wf=0, start_bit=start_bit, arena=arena)
+    if res is None:
+        return None
+    recs, cnt, tail_bit = res
+    wf_b = _bucket_wf(cfg, recs, tail_bit)
+    buf = None
+    if win_pool is not None and win_pool.get(wf_b):
+        cand = win_pool[wf_b].pop()
+        if cand.shape[0] >= max(len(recs["fs_off"]), 1):
+            buf = cand
+    win = native.fill_windows(data, recs["fs_off"], recs["meta"], wf_b,
+                              threads=fill_threads, win=buf)
+    recs = dict(recs)
+    recs["win"] = win
+    return recs, cnt, tail_bit, wf_b
+
+
 def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
                       part_sink=None):
     """Two-phase decode with the entropy phase on device (status, bytes).
@@ -171,8 +230,6 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
     finishes any tail the scan could not validate, preserving the
     reference's truncation/error semantics (decode.c:818-825) bit-exactly.
     """
-    from .ops import bitunpack
-
     data = bytes(data)
     bsz = cfg.bytes_per_sample
     S = cfg.samples_per_rsi
@@ -182,8 +239,6 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
     if chunk_rsis is None:
         # ~8M delta samples (32 MB u32) per device dispatch
         chunk_rsis = max(1, (8 << 20) // S)
-    max_fs = bitunpack.max_fs_bits(cfg)
-    wf = bitunpack.window_words(cfg)
 
     # The scan is resumable (start_bit), so it runs in device-chunk-sized
     # slices with the device dispatch issued between slices: jax dispatch
@@ -197,19 +252,23 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
     # Record-arena pool: a fresh np.empty per chunk costs ~6 ms of page
     # faults (comparable to the walk itself).  An arena is recycled only
     # once its chunk's OUTPUT has been fetched, which orders after the
-    # input transfer that read it.
+    # input transfer that read it.  Window buffers recycle the same way,
+    # pooled per bucketed width.
     free_arenas = []
+    win_pool = {}
     # Output fetches run on ONE worker thread (FIFO keeps emit order):
     # D2H of chunk i overlaps the scan + dispatch of chunk i+1.
     fetch_pool = ThreadPoolExecutor(1)
     fetch_futs = []
 
-    def fetch(dev_out, cnt, arena):
+    def fetch(dev_out, cnt, arena, wf_b, win_buf):
         # the fused swizzle kernel returns [n_rsi, words]; flatten
         # before the byte slice or a padded chunk is never truncated
         by = np.asarray(dev_out).ravel().view(np.uint8)
         if arena is not None:
             free_arenas.append(arena)
+        if win_buf is not None:
+            win_pool.setdefault(wf_b, []).append(win_buf)
         emit(by[: cnt * S * bsz].tobytes())
 
     def drain_one():
@@ -222,10 +281,10 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
     while n_rsis < want_rsis:
         ask = min(chunk_rsis, want_rsis - n_rsis)
         arena = free_arenas.pop() if free_arenas else (
-            native.ScanArena(chunk_rsis * cfg.rsi, wf)
+            native.ScanArena(chunk_rsis * cfg.rsi, 0)
             if native.get_lib() is not None else None)
-        res = native.scan_blocks(data, ask, max_fs, cfg, wf=wf,
-                                 start_bit=tail_bit, arena=arena)
+        res = scan_chunk_bucketed(data, ask, cfg, start_bit=tail_bit,
+                                  arena=arena, win_pool=win_pool)
         if res is None:  # no native library: only possible on first slice
             fetch_pool.shutdown()
             status, out = _decode_cpu_status(data, cfg, out_size)
@@ -233,9 +292,11 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
                 part_sink(out)
                 return status, b""
             return status, out
-        recs, cnt, tail_bit = res
+        recs, cnt, tail_bit, wf_b = res
         if cnt == 0:
             break
+        win_view = recs["win"]
+        win_buf = win_view.base if win_view.base is not None else win_view
         arrs = scan_record_arrays(recs)
         # bucket the chunk shape to a power of two to bound recompiles
         cpad = cnt if cnt == chunk_rsis else _next_pow2(cnt)
@@ -247,7 +308,7 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
                 a = np.pad(a, pad_w)
             chunk_arrs.append(a)
         fn = _jax_decode_fn(cfg, cpad)
-        pending.append((fn(*chunk_arrs), cnt, arena))
+        pending.append((fn(*chunk_arrs), cnt, arena, wf_b, win_buf))
         if len(pending) > 4:  # bound device residency, keep 4 in flight
             drain_one()
         n_rsis += cnt
@@ -299,8 +360,6 @@ def decode_buffers_tpu(datas, cfg: Config, out_sizes, scan_threads=None,
     import os
     from concurrent.futures import ThreadPoolExecutor
 
-    from .ops import bitunpack
-
     datas = [bytes(d) for d in datas]
     n = len(datas)
     if n == 0:
@@ -309,12 +368,12 @@ def decode_buffers_tpu(datas, cfg: Config, out_sizes, scan_threads=None,
     S = cfg.samples_per_rsi
     if chunk_rsis is None:
         chunk_rsis = max(1, (8 << 20) // S)
-    max_fs = bitunpack.max_fs_bits(cfg)
-    wf = bitunpack.window_words(cfg)
 
     def scan_stream(i):
         """Full chunked scan of stream i (worker thread, no jax calls).
-        Returns (chunks, tail_bit, n_rsis): chunks = [(arrs, cnt), ...]."""
+        Returns (chunks, tail_bit, n_rsis): chunks = [(arrs, cnt), ...].
+        Window widths are bucketed per chunk (streams are scanned on
+        parallel workers already, so the fill runs single-threaded)."""
         data = datas[i]
         want = (out_sizes[i] // bsz) // S
         chunks = []
@@ -322,11 +381,11 @@ def decode_buffers_tpu(datas, cfg: Config, out_sizes, scan_threads=None,
         tail_bit = 0
         while n_rsis < want:
             ask = min(chunk_rsis, want - n_rsis)
-            res = native.scan_blocks(data, ask, max_fs, cfg, wf=wf,
-                                     start_bit=tail_bit, threads=1)
+            res = scan_chunk_bucketed(data, ask, cfg, start_bit=tail_bit,
+                                      fill_threads=1)
             if res is None:
                 return None
-            recs, cnt, tail_bit = res
+            recs, cnt, tail_bit, _wf = res
             if cnt == 0:
                 break
             chunks.append((scan_record_arrays(recs), cnt))

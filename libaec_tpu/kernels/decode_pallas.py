@@ -170,8 +170,10 @@ def decode_tile_kernel(win_ref, fsbit_ref, lsbrel_ref, meta_ref, refs_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_call(cfg, NB, T, interpret):
-    Wf = (cfg.block_size * cfg.bits_per_sample) // 32 + 2
+def _build_call(cfg, NB, T, interpret,
+                Wf=None):
+    if Wf is None:  # worst-case conforming payload (ops/bitunpack)
+        Wf = (cfg.block_size * cfg.bits_per_sample) // 32 + 2
     bs = cfg.block_size
     n_tiles = NB // T
     kern = functools.partial(decode_tile_kernel, cfg=cfg, T=T, Wf=Wf)
@@ -198,8 +200,11 @@ def kernel_supported(cfg):
 def decode_payload_pallas(cfg, win, fs_bit, lsb_rel, meta, ref_sample,
                           tile=512, interpret=False):
     """win: u32 [NB, Wf] scan-materialised (unmasked) payload windows;
-    record vectors u32 [NB].  Returns mapped deltas u32 [NB, bs].  NB is
-    padded to a tile multiple internally (zero records decode to zero)."""
+    record vectors u32 [NB].  Wf may be SMALLER than the worst-case
+    window (bucketed per chunk from the actual max payload span -- see
+    decode.py) as long as every payload in the chunk fits it.  Returns
+    mapped deltas u32 [NB, bs].  NB is padded to a tile multiple
+    internally (zero records decode to zero)."""
     NB = win.shape[0]
     pad = (-NB) % tile
     if pad:
@@ -207,7 +212,7 @@ def decode_payload_pallas(cfg, win, fs_bit, lsb_rel, meta, ref_sample,
         win = jnp.pad(win, ((0, pad), (0, 0)))
         fs_bit, lsb_rel, meta, ref_sample = map(
             zcol, (fs_bit, lsb_rel, meta, ref_sample))
-    call = _build_call(cfg, NB + pad, tile, interpret)
+    call = _build_call(cfg, NB + pad, tile, interpret, Wf=win.shape[1])
     out = call(win, fs_bit[None, :], lsb_rel[None, :], meta[None, :],
                ref_sample[None, :])
     return out[:NB]

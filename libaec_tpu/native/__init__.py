@@ -243,6 +243,36 @@ class ScanArena:
         return nrec <= self.nrec and wf == self.wf
 
 
+def fill_windows(data, fs_off, meta, wf, threads=None, win=None):
+    """Materialise [n, wf] payload windows for records from a wf=0 scan.
+
+    Decouples the window width from the walk: decode.py runs the scan
+    records-only, buckets wf from the chunk's ACTUAL max payload span
+    (typically 3-4x smaller than the worst-case conforming window), then
+    fills here on worker threads.  Returns the win array (the passed-in
+    `win` buffer when given, for arena reuse), or None without the native
+    library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    n = len(fs_off)
+    if win is None:
+        win = np.empty((max(n, 1), wf), np.uint32)
+    if threads is None:
+        threads = min(os.cpu_count() or 1, 8)
+    inview = np.frombuffer(data, np.uint8) if len(data) else \
+        np.empty(1, np.uint8)
+    lib.aectpu_fill_windows(
+        inview.ctypes.data_as(ctypes.c_void_p), len(data),
+        fs_off.ctypes.data_as(ctypes.c_void_p),
+        meta.ctypes.data_as(ctypes.c_void_p),
+        win.ctypes.data_as(ctypes.c_void_p), wf, n, threads,
+    )
+    return win[:n]
+
+
 def scan_blocks(data, max_rsis: int, max_fs_bits: int, cfg, wf=0,
                 threads=None, start_bit=0, arena=None):
     """Phase-1 structural scan for the device decoder.

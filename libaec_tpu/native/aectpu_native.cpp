@@ -899,6 +899,34 @@ int aectpu_decode_parallel(const uint8_t* in, size_t in_len,
     }
 }
 
+// Standalone window materialisation for records produced by a wf=0 scan:
+// lets the caller pick the window width AFTER the walk (bucketed from the
+// chunk's actual max payload span instead of the worst-case conforming
+// payload -- decode.py's per-chunk wf bucketing), then fill on `threads`
+// workers.  Pure memcpy work, embarrassingly parallel over records.
+int aectpu_fill_windows(const uint8_t* in, size_t in_len,
+                        const uint64_t* fs_off, const uint32_t* meta,
+                        uint32_t* win, int wf, size_t n, int threads) {
+    InputView input(in, in_len);
+    if (threads < 1) threads = 1;
+    if (threads == 1 || n < 4096) {
+        fill_windows(input, fs_off, meta, win, wf, 0, n);
+        return AEC_OK;
+    }
+    std::vector<std::thread> pool;
+    size_t per = (n + threads - 1) / threads;
+    for (int t = 0; t < threads; t++) {
+        size_t lo = (size_t)t * per;
+        size_t hi = lo + per < n ? lo + per : n;
+        if (lo >= hi) break;
+        pool.emplace_back([&, lo, hi] {
+            fill_windows(input, fs_off, meta, win, wf, lo, hi);
+        });
+    }
+    for (auto& t : pool) t.join();
+    return AEC_OK;
+}
+
 // Offsets-only structural scan: count complete RSIs from start_bit (at most
 // max_rsis) and report where the next RSI would begin.  Powers bounded-
 // memory chunked decode (CLI) and incremental streaming decode (stream.py):

@@ -101,7 +101,7 @@ def _decode_payload_xla(cfg, win, fs_bit, lsb_rel, meta):
     i32 = jnp.int32
     bs = cfg.block_size
     bps = cfg.bits_per_sample
-    Wf = window_words(cfg)
+    Wf = win.shape[1]  # may be bucketed below window_words(cfg)
     NB = meta.shape[0]
 
     kind = meta & u32(3)
