@@ -130,3 +130,43 @@ def test_tpu_payload_zero_runs():
     st_tpu, out_tpu = decode_buffer_tpu(comp, cfg, len(raw))
     assert st_tpu == st_ref == AEC_OK
     assert out_tpu == out_ref
+
+
+def test_bucketed_windows_cover_all_entropies():
+    """Per-chunk window bucketing (decode.scan_chunk_bucketed): for every
+    entropy regime -- including near-incompressible data whose uncomp
+    blocks force the worst-case window -- the bucketed windows must decode
+    bit-identically to the scalar core via the XLA payload parse."""
+    from libaec_tpu.decode import (_jax_decode_fn, scan_chunk_bucketed,
+                                   scan_record_arrays)
+    from libaec_tpu.ops import bitunpack
+
+    flags = AEC_DATA_MSB | AEC_DATA_PREPROCESS
+    cfg = Config(16, 64, 32, flags)
+    rng = np.random.default_rng(9)
+    wf_max = bitunpack.window_words(cfg)
+    seen = set()
+    for kind in ("zeros", "lowentropy", "midentropy", "random"):
+        vals = (rng.integers(0, 1 << 16, 8 * cfg.samples_per_rsi,
+                             dtype=np.uint32)
+                if kind == "random" else
+                np.zeros(8 * cfg.samples_per_rsi, np.uint32)
+                if kind == "zeros" else
+                gen.gen_values(rng, 8 * cfg.samples_per_rsi, 16, False,
+                               kind))
+        raw = gen.pack_samples(vals, 16, flags)
+        comp = encode_buffer(bytes(raw), cfg)
+        res = scan_chunk_bucketed(comp, 8, cfg)
+        assert res is not None
+        recs, cnt, tail, wf_b = res
+        assert cnt == 8
+        assert wf_b <= wf_max
+        seen.add(wf_b)
+        fn = _jax_decode_fn(cfg, 8)
+        out = np.asarray(fn(*scan_record_arrays(recs))).ravel() \
+            .view(np.uint8).tobytes()
+        assert out[: len(raw)] == bytes(raw), (kind, wf_b)
+    # the regimes must actually exercise different buckets (narrow for
+    # low entropy, the worst-case window for random/uncomp data)
+    assert len(seen) >= 2, seen
+    assert max(seen) == wf_max  # random data hits the uncomp window
