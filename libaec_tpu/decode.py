@@ -206,6 +206,8 @@ def scan_chunk_bucketed(data, ask, cfg, start_bit=0, arena=None,
         cand = win_pool[wf_b].pop()
         if cand.shape[0] >= max(len(recs["fs_off"]), 1):
             buf = cand
+        else:  # too small for this chunk; keep it for a later short one
+            win_pool[wf_b].insert(0, cand)
     win = native.fill_windows(data, recs["fs_off"], recs["meta"], wf_b,
                               threads=fill_threads, win=buf)
     recs = dict(recs)

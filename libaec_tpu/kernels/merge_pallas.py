@@ -78,8 +78,10 @@ def _merge_tile_kernel(*refs, levels, local_words, GWout, prepack, caps):
     win_ref = refs[0]
     o_refs = refs[1:1 + levels]
     sh_refs = refs[1 + levels:1 + 2 * levels]
-    osm_refs = refs[1 + 2 * levels:1 + 3 * levels]  # SMEM copies of o
-    gwin_ref = refs[1 + 3 * levels]
+    # SMEM copies of o ride along only when the roll experiment is on
+    n_osm = levels if ROLL_MAX_ROWS else 0
+    osm_refs = refs[1 + 2 * levels:1 + 2 * levels + n_osm]
+    gwin_ref = refs[1 + 2 * levels + n_osm]
 
     u32 = jnp.uint32
     arr = win_ref[:]                       # [Rt(, /2), W0pad] u32
@@ -213,10 +215,13 @@ def _build_merge_call(NB, W0, local_words, group, interpret):
     # SMEM copies of the per-level word shifts, for the per-row dynamic
     # rolls at the late (few-row) levels.  3-D so the block's last two
     # dims EQUAL the array's (Mosaic's block-shape divisibility rule).
-    for lvl in range(levels):
-        rt = max(Rt >> (lvl + 1), 8)
-        in_specs.append(pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
-                                     memory_space=pltpu.SMEM))
+    # Only plumbed when the (measured-slower, disabled) roll experiment
+    # is re-enabled -- it must not tax the production kernel.
+    if ROLL_MAX_ROWS:
+        for lvl in range(levels):
+            rt = max(Rt >> (lvl + 1), 8)
+            in_specs.append(pl.BlockSpec((1, 1, rt), lambda i: (i, 0, 0),
+                                         memory_space=pltpu.SMEM))
 
     call = pl.pallas_call(
         kern,
@@ -271,7 +276,7 @@ def merge_to_groups_pallas(win, block_bits, local_words, group,
     def tile3(a):
         return tile2(a)[:, :, None]
 
+    osm = [tile2(a)[:, None, :] for a in o_arrs] if ROLL_MAX_ROWS else []
     gwin = call(win, *[tile3(a) for a in o_arrs],
-                *[tile3(a) for a in sh_arrs],
-                *[tile2(a)[:, None, :] for a in o_arrs])
+                *[tile3(a) for a in sh_arrs], *osm)
     return gwin, node

@@ -81,6 +81,16 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_size_t),
                 ctypes.c_uint, ctypes.c_uint, ctypes.c_uint, ctypes.c_uint,
             ]
+            lib.aectpu_encode_parallel.restype = ctypes.c_int
+            lib.aectpu_encode_parallel.argtypes = \
+                lib.aectpu_encode.argtypes + [ctypes.c_int]  # threads
+            lib.aectpu_fill_windows.restype = ctypes.c_int
+            lib.aectpu_fill_windows.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t,      # in
+                ctypes.c_void_p, ctypes.c_void_p,      # fs_off, meta
+                ctypes.c_void_p, ctypes.c_int,         # win, wf
+                ctypes.c_size_t, ctypes.c_int,         # n, threads
+            ]
             lib.aectpu_scan_blocks.restype = ctypes.c_int
             lib.aectpu_scan_blocks.argtypes = [
                 ctypes.c_void_p, ctypes.c_size_t,      # in

@@ -274,10 +274,66 @@ static inline void delta_map_u64(const uint32_t* x, uint32_t* d, size_t n,
     }
 }
 
+// Reference-exact four-branch map (encode.c:255-309), uint32 wraparound
+// arithmetic throughout.  The branchless theta form below is provably
+// identical only for IN-RANGE samples (values within bits_per_sample);
+// the reference's accessors never mask (encode_accessors.c), so
+// out-of-range bytes still encode deterministically -- this path keeps
+// that garbage-in bit-exactness.
+static void delta_rsi_exact(const uint32_t* x, uint32_t* d, size_t n,
+                            const EncParams& p) {
+    if (!(p.flags & E_FLAG_SIGNED)) {
+        const uint32_t xmax = p.xmax();
+        for (size_t i = 1; i < n; i++) {
+            uint32_t prev = x[i - 1], cur = x[i], dd;
+            if (cur >= prev) {
+                uint32_t D = cur - prev;
+                dd = (D <= prev) ? 2 * D : cur;
+            } else {
+                uint32_t D = prev - cur;
+                dd = (D <= xmax - prev) ? 2 * D - 1 : xmax - cur;
+            }
+            d[i] = dd;
+        }
+    } else {
+        const uint32_t m = (1u << (p.bps - 1)) & 0xFFFFFFFFu;
+        const int32_t sxmax = (int32_t)p.xmax();
+        const int32_t sxmin = (int32_t)p.xmin();
+        for (size_t i = 1; i < n; i++) {
+            int32_t prev = (int32_t)((x[i - 1] ^ m) - m);
+            int32_t cur = (int32_t)((x[i] ^ m) - m);
+            uint32_t dd;
+            if (cur < prev) {
+                uint32_t D = (uint32_t)prev - (uint32_t)cur;
+                dd = (D <= (uint32_t)(sxmax - prev))
+                         ? 2 * D - 1
+                         : (uint32_t)(sxmax - cur);
+            } else {
+                uint32_t D = (uint32_t)cur - (uint32_t)prev;
+                dd = (D <= (uint32_t)(prev - sxmin))
+                         ? 2 * D
+                         : (uint32_t)(cur - sxmin);
+            }
+            d[i] = dd;
+        }
+    }
+}
+
 static void delta_rsi(const uint32_t* x, uint32_t* d, size_t n,
                       const EncParams& p) {
     if (n == 0) return;
     d[0] = 0;
+    // out-of-range samples (bits above bits_per_sample: possible for any
+    // bps not filling its storage width, since reads never mask) take
+    // the reference-exact branch; the vector OR is ~free
+    if (p.bps < 32) {
+        uint32_t orv = 0;
+        for (size_t i = 0; i < n; i++) orv |= x[i];
+        if (orv & ~p.mask()) {
+            delta_rsi_exact(x, d, n, p);
+            return;
+        }
+    }
     if (!(p.flags & E_FLAG_SIGNED)) {
         if (p.bps <= 31)
             // bps<=31: cur-prev fits int32 exactly

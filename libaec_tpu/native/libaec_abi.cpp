@@ -205,11 +205,27 @@ struct AbiDecState {
     int status = A_OK;
     bool want_finish = false;
     bool finished = false;
+    // flush-tail progress: the serial tail decode cannot resume mid-RSI,
+    // so each flush call re-decodes the (deterministic) tail prefix with
+    // a geometrically grown cap and appends only the fresh suffix
+    size_t tail_cap = 0;
+    size_t tail_written = 0;
 };
 }  // namespace
 
 int aec_decode_init(struct aec_stream* strm) {
     if (strm->bits_per_sample == 0 || strm->bits_per_sample > 32)
+        return A_CONF_ERROR;
+    // the reference's decoder init checks only bits_per_sample
+    // (decode.c:699-700) and then mallocs zero-sized buffers for
+    // rsi==0 / block_size==0, misbehaving later; rejecting the
+    // degenerate geometry up front is the memory-safe deviation
+    // (aec_decode below divides by rsi_bytes).  RESTRICTED parity:
+    // 5..8-bit rejected, ignored elsewhere (decode.c:739-747).
+    if (strm->rsi == 0 || strm->block_size == 0)
+        return A_CONF_ERROR;
+    if ((strm->flags & 16u) && strm->bits_per_sample > 4 &&
+        strm->bits_per_sample <= 8)
         return A_CONF_ERROR;
     AbiDecState* s = new AbiDecState;
     s->rsi_bytes = (size_t)strm->rsi * strm->block_size *
@@ -266,26 +282,51 @@ int aec_decode(struct aec_stream* strm, int flush) try {
             }
         }
         if (s->want_finish && n_rsis < limit) {
-            // no complete RSI left; finish the trailing partial RSI with
-            // the serial core's truncation semantics.  After the scan the
-            // tail holds at most one incomplete RSI, so its output is
-            // bounded by one RSI (plus slack) -- a linear, small cap.
+            // no complete RSI left; finish the tail with the serial
+            // core's truncation semantics.  For a well-formed truncated
+            // stream the tail is at most one incomplete RSI, but a
+            // structurally-invalid tail (scan rejection mid-stream) can
+            // legally decode to many RSIs of output under the
+            // reference's garbage-in stance -- so the attempt cap GROWS
+            // geometrically across flush calls (re-decoding the
+            // deterministic prefix, appending only the fresh suffix)
+            // instead of either truncating the output or allocating the
+            // unbounded worst case up front (the round-4 advisor's
+            // quadratic-allocation DoS).
             size_t rem_bits = 8 * s->inbuf.size() > s->pos_bit
                                   ? 8 * s->inbuf.size() - s->pos_bit
                                   : 0;
-            if (rem_bits) {
-                size_t cap = s->rsi_bytes + 16;
-                size_t base = s->outbuf.size();
-                s->outbuf.resize(base + cap);
+            if (!rem_bits) {
+                s->finished = true;
+            } else {
+                // keep the cap sample-aligned: a capacity stop then ends
+                // exactly at cap (status OK, retry bigger) and is never
+                // misread as the reference's mid-sample MEM_ERROR
+                size_t bsz = (size_t)bytes_per_sample(
+                    strm->bits_per_sample, strm->flags);
+                size_t cap = s->tail_cap ? s->tail_cap * 2
+                                         : s->rsi_bytes + 16 * bsz;
+                std::vector<uint8_t> tmp(cap);
                 size_t written = 0;
-                s->status = aectpu_decode_tail(
+                int st = aectpu_decode_tail(
                     s->inbuf.data(), s->inbuf.size(), s->pos_bit,
-                    s->outbuf.data() + base, cap, &written,
+                    tmp.data(), cap, &written,
                     strm->bits_per_sample, strm->block_size, strm->rsi,
                     strm->flags);
-                s->outbuf.resize(base + written);
+                if (written > s->tail_written) {
+                    s->outbuf.insert(s->outbuf.end(),
+                                     tmp.data() + s->tail_written,
+                                     tmp.data() + written);
+                    s->tail_written = written;
+                }
+                s->tail_cap = cap;
+                if (written < cap) {  // tail fully decoded
+                    s->status = st;
+                    s->finished = true;
+                }
+                // else: output may continue; the caller's next flush
+                // call retries with double the cap
             }
-            s->finished = true;
         }
     }
     size_t n = s->outbuf.size() - s->drained;

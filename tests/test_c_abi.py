@@ -298,3 +298,71 @@ def test_sz_compress_decompress_matches_python(bpp, ppb, pps):
     assert back.raw[: blen.value] == pyback
 
     assert lib.SZ_encoder_enabled() == 1
+
+
+def test_streaming_flush_tail_matches_reference_on_garbage():
+    """A structurally-invalid tail (here: an oversized-FS block the scan
+    rejects) can still decode to MANY RSIs of output under the
+    reference's garbage-in stance.  The streaming session's flush path
+    must reproduce the reference's one-shot decode of the same bytes --
+    it re-decodes the tail with a geometrically grown cap instead of
+    truncating at one RSI (or allocating the unbounded worst case)."""
+    import oracle
+
+    if not oracle.available():
+        pytest.skip("reference build unavailable")
+    lib = _lib()
+    flags = AEC_DATA_MSB | AEC_DATA_PREPROCESS
+    bps, bs, rsi = 16, 64, 16
+    cfg = Config(bps, bs, rsi, flags)
+    data = _data(cfg, 6 * cfg.samples_per_rsi, seed=12)
+    enc = bytearray(encode_buffer(data, cfg))
+
+    # find the byte region of RSI 3 via the offsets-only scan and stomp
+    # an oversized-FS split block over it: id=0001 (split, k=0) then a
+    # >max_fs_bits run of zeros -- the structural scan rejects this, the
+    # serial core decodes straight through it
+    import ctypes as ct
+
+    n1, end_bit = native.scan_rsis(bytes(enc), 0, 3, cfg)
+    assert n1 == 3
+    cut = end_bit // 8 + 1
+    stomp = bytes([0x10]) + b"\x00" * 200  # 4-bit id 0001 + ~1600 zero bits
+    enc[cut : cut + len(stomp)] = stomp
+    enc = bytes(enc)
+
+    out_size = len(data)
+    # NB: the REFERENCE's parse of structurally-invalid streams hits its
+    # own documented OOB quirks (see the differential fuzzer's notes), so
+    # garbage-in equality is defined against OUR serial core: the
+    # streaming session must reproduce the one-shot decode of the same
+    # bytes, and our one-shot core is the oracle-validated semantics for
+    # every CONFORMING stream.
+    st_ref, ref_out = native.decode(enc, 4 * len(data), cfg, threads=1)
+
+    s = AecStream(bits_per_sample=bps, block_size=bs, rsi=rsi, flags=flags)
+    assert lib.aec_decode_init(ct.byref(s)) == 0
+    got = bytearray()
+    outb = ct.create_string_buffer(1 << 16)
+    s.next_in = ct.cast(ct.c_char_p(enc), ct.c_void_p)
+    s.avail_in = len(enc)
+    for _ in range(10000):
+        s.next_out = ct.cast(outb, ct.c_void_p)
+        s.avail_out = len(outb.raw)
+        lib.aec_decode(ct.byref(s), AEC_FLUSH)
+        n = len(outb.raw) - s.avail_out
+        got += outb.raw[:n]
+        if n == 0:
+            break
+    assert lib.aec_decode_end(ct.byref(s)) == 0
+
+    # the one-shot stops at its out_cap; the session is unbounded --
+    # the common prefix must be identical and the session must have
+    # decoded well past the stomp point (several RSIs of tail output,
+    # i.e. NOT truncated at one RSI by the old flush cap)
+    m = min(len(got), len(ref_out))
+    assert m >= out_size // 2
+    assert bytes(got[:m]) == ref_out[:m]
+    # 3 scanned RSIs + a >1-RSI decoded tail: the old one-RSI flush cap
+    # could emit at most 4 RSIs + slack
+    assert len(got) > 4 * cfg.rsi_len_bytes + 32

@@ -117,3 +117,36 @@ def test_parallel_encode_capacity():
     st2, cut = native.encode(bytes(data), cfg, out_cap=1000, threads=4)
     assert st2 == AEC_STREAM_ERROR
     assert cut == full[:1000]
+
+
+@pytest.mark.parametrize("bps,flags", [
+    (12, AEC_DATA_MSB | AEC_DATA_PREPROCESS),
+    (5, AEC_DATA_PREPROCESS),
+    (12, AEC_DATA_MSB | AEC_DATA_SIGNED | AEC_DATA_PREPROCESS),
+    (20, AEC_DATA_MSB | AEC_DATA_PREPROCESS),
+])
+def test_out_of_range_samples_match_reference(bps, flags):
+    """Samples whose storage bytes carry bits above bits_per_sample are
+    never masked by the reference's accessors (encode_accessors.c), so
+    they still encode deterministically; the fast branchless delta map is
+    only equivalent for in-range values, and must fall back to the
+    reference-exact four-branch map for dirty input."""
+    import oracle
+
+    if not oracle.available():
+        pytest.skip("reference build unavailable")
+    cfg = Config(bps, 32, 8, flags)
+    rng = np.random.default_rng(bps)
+    n = 5 * cfg.samples_per_rsi + 17
+    # raw storage-width values, deliberately exceeding the bps range
+    storage_bits = 8 * cfg.bytes_per_sample
+    vals = rng.integers(0, 1 << storage_bits, n, dtype=np.uint64) \
+        .astype(np.uint32)
+    data = gen.pack_samples(vals, storage_bits, flags)
+    st_ref, ref = oracle.encode(data, bps, 32, 8, flags)
+    assert st_ref == 0
+    st, mine = native.encode(bytes(data), cfg, threads=1)
+    assert st == 0
+    assert mine == ref
+    st, mine_par = native.encode(bytes(data), cfg, threads=3)
+    assert mine_par == ref
