@@ -196,19 +196,45 @@ def bench_decode_device(comp, raw):
 
     n_rsis = len(raw) // CFG.rsi_len_bytes
     # production phase 1, exactly as decode_buffer_tpu runs it: a
-    # records-only walk, then the window fill at the PER-CHUNK BUCKETED
-    # width (typically 4x narrower than the worst-case window)
-    arena = native.ScanArena(n_rsis * CFG.rsi, 0)
+    # records-only walk on the main thread with the previous pass's
+    # bucketed window fill overlapped on a worker (phase-1 sustained =
+    # max(walk, fill), which is what the pipeline actually achieves)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from libaec_tpu.decode import _bucket_wf
+
+    max_fs = bitunpack.max_fs_bits(CFG)
+    arena2 = [native.ScanArena(n_rsis * CFG.rsi, 0) for _ in range(2)]
     wpool = {}
+    fillex = ThreadPoolExecutor(1)
+
+    def fill_one(recs, wb):
+        buf = wpool[wb].pop() if wpool.get(wb) else None
+        win = native.fill_windows(comp, recs["fs_off"], recs["meta"], wb,
+                                  threads=1, win=buf)
+        wpool.setdefault(wb, []).append(
+            win.base if win.base is not None else win)
+
+    def phase1_passes(n):
+        t0 = time.time()
+        prev = None
+        for i in range(n):
+            recs, n_ok, tail2 = native.scan_blocks(
+                comp, n_rsis, max_fs, CFG, wf=0, arena=arena2[i % 2])
+            assert n_ok == n_rsis
+            wb = _bucket_wf(CFG, recs, tail2)
+            if prev is not None:
+                prev.result()
+            prev = fillex.submit(fill_one, dict(recs), wb)
+        prev.result()
+        return time.time() - t0
+
+    phase1_passes(1)  # warm (allocations, page faults)
     t_scan = float("inf")
     for _rep in range(3):
-        t0 = time.time()
-        recs, n_ok, _tail, wf_b = scan_chunk_bucketed(
-            comp, n_rsis, CFG, arena=arena, win_pool=wpool)
-        t_scan = min(t_scan, time.time() - t0)
-        wv = recs["win"]
-        wpool.setdefault(wf_b, []).append(
-            wv.base if wv.base is not None else wv)
+        t_scan = min(t_scan, phase1_passes(2) / 2)
+
+    recs, n_ok, _tail, wf_b = scan_chunk_bucketed(comp, n_rsis, CFG)
     assert n_ok == n_rsis
     arrs = [jax.device_put(a) for a in scan_record_arrays(recs)]
     fn = _jax_decode_fn(CFG, n_rsis)
@@ -232,24 +258,27 @@ def bench_decode_device(comp, raw):
 
     # Pipelined single-stream rate: while the device runs n decode
     # iterations (async dispatch), the host runs n FULL fresh phase-1
-    # passes (records walk + bucketed window fill, pooled arenas) -- the
-    # decode_buffer_tpu overlap.  Slope between n and 3n cancels the
-    # dispatch+sync constant; the per-iteration time converges to
-    # max(phase1, device), i.e. the sustained rate of the two-phase
-    # pipeline on one stream.  Staging is excluded for the same reason it
-    # is in decode_device: the axon dev tunnel (~40 MiB/s) is not the
-    # PCIe/DMA path of a real TPU host.
-    pool = [native.ScanArena(n_rsis * CFG.rsi, 0) for _ in range(2)]
-
+    # passes exactly as decode_buffer_tpu does -- the records walk on the
+    # main thread OVERLAPPED with the previous iteration's bucketed
+    # window fill on a worker (phase-1 = max(walk, fill), not their
+    # sum).  Slope between n and 3n cancels the dispatch+sync constant;
+    # the per-iteration time converges to max(phase1, device), i.e. the
+    # sustained rate of the two-phase pipeline on one stream.  Staging is
+    # excluded for the same reason it is in decode_device: the axon dev
+    # tunnel (~40 MiB/s) is not the PCIe/DMA path of a real TPU host.
     def pipelined(n, loop):
         t0 = time.time()
         res = loop()  # async device dispatch of n decode iterations
+        prev = None
         for i in range(n):
-            r, _n, _t, wb = scan_chunk_bucketed(
-                comp, n_rsis, CFG, arena=pool[i % 2], win_pool=wpool)
-            wv = r["win"]
-            wpool.setdefault(wb, []).append(
-                wv.base if wv.base is not None else wv)
+            recs, _n, tail2 = native.scan_blocks(
+                comp, n_rsis, max_fs, CFG, wf=0, arena=arena2[i % 2])
+            wb = _bucket_wf(CFG, recs, tail2)
+            if prev is not None:
+                prev.result()
+            prev = fillex.submit(fill_one, dict(recs), wb)
+        if prev is not None:
+            prev.result()
         np.asarray(res)  # device sync
         return time.time() - t0
 
@@ -277,6 +306,10 @@ def bench_decode_scan_pad(raw):
     from libaec_tpu.constants import AEC_PAD_RSI
     from libaec_tpu.ops import bitunpack
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from libaec_tpu.decode import _bucket_wf
+
     cfg_pad = Config(CFG.bits_per_sample, CFG.block_size, CFG.rsi,
                      CFG.flags | AEC_PAD_RSI)
     st, comp_pad = native.encode(raw, cfg_pad)
@@ -284,33 +317,55 @@ def bench_decode_scan_pad(raw):
     st, back = native.decode(comp_pad, len(raw), cfg_pad)
     assert st == 0 and back == raw, "PAD_RSI round trip failed"
     n_rsis = len(raw) // cfg_pad.rsi_len_bytes
-    wf = bitunpack.window_words(cfg_pad)
-    arena = native.ScanArena(n_rsis * cfg_pad.rsi, wf)
+    max_fs = bitunpack.max_fs_bits(cfg_pad)
+    arenas = [native.ScanArena(n_rsis * cfg_pad.rsi, 0) for _ in range(2)]
+    wpool = {}
+    fillex = ThreadPoolExecutor(1)
+
+    def fill_one(recs, wb):
+        buf = wpool[wb].pop() if wpool.get(wb) else None
+        win = native.fill_windows(comp_pad, recs["fs_off"], recs["meta"],
+                                  wb, threads=1, win=buf)
+        wpool.setdefault(wb, []).append(
+            win.base if win.base is not None else win)
+
+    def passes(n):
+        t0 = time.time()
+        prev = None
+        for i in range(n):
+            recs, n_ok, tail2 = native.scan_blocks(
+                comp_pad, n_rsis, max_fs, cfg_pad, wf=0,
+                arena=arenas[i % 2])
+            assert n_ok == n_rsis
+            wb = _bucket_wf(cfg_pad, recs, tail2)
+            if prev is not None:
+                prev.result()
+            prev = fillex.submit(fill_one, dict(recs), wb)
+        prev.result()
+        return time.time() - t0
+
+    passes(1)  # warm
     t_scan = float("inf")
     for _rep in range(3):
-        t0 = time.time()
-        recs, n_ok, _ = native.scan_blocks(
-            comp_pad, n_rsis, bitunpack.max_fs_bits(cfg_pad), cfg_pad,
-            wf=wf, arena=arena)
-        t_scan = min(t_scan, time.time() - t0)
-    assert n_ok == n_rsis
+        t_scan = min(t_scan, passes(2) / 2)
     return len(raw) / (1 << 20) / t_scan
 
 
-def bench_reference_cpu(raw, comp):
-    """Same-run, same-buffer timings of the reference C library
-    (.refbuild/src/libaec.so, the oracle build), so the native-CPU claims
-    are reproducible from the recorded JSON alone: machine drift moves
-    ref_* and the repo numbers together.  Also asserts the reference
-    produces OUR bytes (and decodes them back), a free oracle check.
-    Returns (ref_encode_mibs, ref_decode_mibs) or (None, None) when the
-    oracle build is absent."""
+def bench_cpu_paired(raw, comp):
+    """Interleaved same-run CPU timings: our native encode (1 thread and
+    parallel), our native decode, and the reference C library
+    (.refbuild/src/libaec.so, the oracle build) over the same buffers.
+    Each rep measures all five back to back, so thermal/contention drift
+    moves every number together and best-of-rep ratios are meaningful
+    from the recorded JSON alone.  Also asserts the reference produces
+    OUR bytes (and decodes them back), a free oracle check.  Returns
+    (enc_cpu, enc_cpu_mt, dec_cpu, ref_enc, ref_dec); the ref_* entries
+    are None when the oracle build is absent."""
     import ctypes
 
+    mib = len(raw) / (1 << 20)
     so = REPO / ".refbuild" / "src" / "libaec.so"
-    if not so.exists():
-        return None, None
-    lib = ctypes.CDLL(str(so))
+    lib = ctypes.CDLL(str(so)) if so.exists() else None
 
     class S(ctypes.Structure):
         _fields_ = [
@@ -322,39 +377,55 @@ def bench_reference_cpu(raw, comp):
             ("state", ctypes.c_void_p),
         ]
 
-    mib = len(raw) / (1 << 20)
     inb = ctypes.create_string_buffer(raw, len(raw))
     outb = ctypes.create_string_buffer(len(raw) + (1 << 20))
-    t_enc = float("inf")
-    tout = 0
-    for _rep in range(3):
+    compb = ctypes.create_string_buffer(comp, len(comp))
+    decb = ctypes.create_string_buffer(len(raw))
+
+    def ref_encode():
         s = S(next_in=ctypes.cast(inb, ctypes.c_void_p),
               avail_in=len(raw),
               next_out=ctypes.cast(outb, ctypes.c_void_p),
               avail_out=len(outb.raw), bits_per_sample=CFG.bits_per_sample,
               block_size=CFG.block_size, rsi=CFG.rsi, flags=CFG.flags)
-        t0 = time.time()
-        rc = lib.aec_buffer_encode(ctypes.byref(s))
-        t_enc = min(t_enc, time.time() - t0)
-        assert rc == 0
-        tout = s.total_out
-    assert outb.raw[:tout] == comp, "reference encode differs from ours"
+        assert lib.aec_buffer_encode(ctypes.byref(s)) == 0
+        return s.total_out
 
-    compb = ctypes.create_string_buffer(comp, len(comp))
-    decb = ctypes.create_string_buffer(len(raw))
-    t_dec = float("inf")
-    for _rep in range(3):
+    def ref_decode():
         s = S(next_in=ctypes.cast(compb, ctypes.c_void_p),
               avail_in=len(comp),
               next_out=ctypes.cast(decb, ctypes.c_void_p),
               avail_out=len(raw), bits_per_sample=CFG.bits_per_sample,
               block_size=CFG.block_size, rsi=CFG.rsi, flags=CFG.flags)
+        assert lib.aec_buffer_decode(ctypes.byref(s)) == 0
+
+    best = [float("inf")] * 5
+    tout = 0
+    for _rep in range(5):
         t0 = time.time()
-        rc = lib.aec_buffer_decode(ctypes.byref(s))
-        t_dec = min(t_dec, time.time() - t0)
-        assert rc == 0
-    assert decb.raw[: len(raw)] == raw, "reference decode verify failed"
-    return mib / t_enc, mib / t_dec
+        st, ncomp = native.encode(raw, CFG, threads=1)
+        best[0] = min(best[0], time.time() - t0)
+        assert st == 0 and ncomp == comp, "native encode verify failed"
+        t0 = time.time()
+        st, ncomp = native.encode(raw, CFG)
+        best[1] = min(best[1], time.time() - t0)
+        assert st == 0 and ncomp == comp, "native parallel encode differs"
+        t0 = time.time()
+        st, out = native.decode(comp, len(raw), CFG)
+        best[2] = min(best[2], time.time() - t0)
+        assert st == 0 and out == raw, "cpu decode verify failed"
+        if lib is not None:
+            t0 = time.time()
+            tout = ref_encode()
+            best[3] = min(best[3], time.time() - t0)
+            t0 = time.time()
+            ref_decode()
+            best[4] = min(best[4], time.time() - t0)
+    if lib is not None:
+        assert outb.raw[:tout] == comp, "reference encode differs from ours"
+        assert decb.raw[: len(raw)] == raw, "reference decode verify failed"
+    return tuple(
+        (mib / b if b != float("inf") else None) for b in best)
 
 
 def _probe_device(timeout_s=180):
@@ -415,31 +486,12 @@ def main():
     dec_e2e = len(chunk_raw) / (1 << 20) / (time.time() - t0)
     assert st == 0 and out == chunk_raw, "decode_buffer_tpu verify failed"
 
-    t0 = time.time()
-    st, out = native.decode(comp, len(chunk_raw), CFG)
-    dec_cpu = len(chunk_raw) / (1 << 20) / (time.time() - t0)
-    assert st == 0 and out == chunk_raw, "cpu decode verify failed"
-
-    # native scalar encoder (the C-ABI / small-buffer path), single
-    # thread for a like-for-like comparison with the reference, plus the
-    # parallel path (decision pass + worker emit + parallel stitch)
-    enc_cpu = enc_cpu_mt = 0.0
-    for _rep in range(3):
-        t0 = time.time()
-        st, ncomp = native.encode(chunk_raw, CFG, threads=1)
-        enc_cpu = max(enc_cpu,
-                      len(chunk_raw) / (1 << 20) / (time.time() - t0))
-    assert st == 0 and ncomp == comp, "native encode verify failed"
-    for _rep in range(3):
-        t0 = time.time()
-        st, ncomp = native.encode(chunk_raw, CFG)
-        enc_cpu_mt = max(enc_cpu_mt,
-                         len(chunk_raw) / (1 << 20) / (time.time() - t0))
-    assert st == 0 and ncomp == comp, "native parallel encode differs"
-
     dec_scan_pad = bench_decode_scan_pad(chunk_raw)
 
-    ref_enc, ref_dec = bench_reference_cpu(chunk_raw, comp)
+    # interleaved paired CPU timings: ours (1-thread / parallel / decode)
+    # and the reference library measured back to back each rep
+    enc_cpu, enc_cpu_mt, dec_cpu, ref_enc, ref_dec = bench_cpu_paired(
+        chunk_raw, comp)
 
     result = {
         "metric": "encode_throughput",

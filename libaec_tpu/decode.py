@@ -278,27 +278,23 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
         if len(fetch_futs) >= 3:
             fetch_futs[-3].result()
 
-    n_rsis = 0
-    tail_bit = 0
-    while n_rsis < want_rsis:
-        ask = min(chunk_rsis, want_rsis - n_rsis)
-        arena = free_arenas.pop() if free_arenas else (
-            native.ScanArena(chunk_rsis * cfg.rsi, 0)
-            if native.get_lib() is not None else None)
-        res = scan_chunk_bucketed(data, ask, cfg, start_bit=tail_bit,
-                                  arena=arena, win_pool=win_pool)
-        if res is None:  # no native library: only possible on first slice
-            fetch_pool.shutdown()
-            status, out = _decode_cpu_status(data, cfg, out_size)
-            if part_sink is not None:
-                part_sink(out)
-                return status, b""
-            return status, out
-        recs, cnt, tail_bit, wf_b = res
-        if cnt == 0:
-            break
-        win_view = recs["win"]
-        win_buf = win_view.base if win_view.base is not None else win_view
+    from .ops import bitunpack
+
+    max_fs = bitunpack.max_fs_bits(cfg)
+
+    # The window fill for chunk i runs on its own worker thread WHILE the
+    # main thread walks chunk i+1 -- the walk is the serial chain, the
+    # fill is memcpy work, so phase-1 throughput is max(walk, fill)
+    # rather than their sum (chunk i's dispatch simply waits for its
+    # fill before being issued).
+    fill_pool = ThreadPoolExecutor(1)
+    staged = None  # (fill_future, recs, cnt, arena, wf_b, win_buf)
+
+    def dispatch_staged():
+        fut, recs, cnt, arena, wf_b, _buf = staged
+        win = fut.result()
+        recs["win"] = win
+        win_buf = win.base if win.base is not None else win
         arrs = scan_record_arrays(recs)
         # bucket the chunk shape to a power of two to bound recompiles
         cpad = cnt if cnt == chunk_rsis else _next_pow2(cnt)
@@ -313,9 +309,47 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
         pending.append((fn(*chunk_arrs), cnt, arena, wf_b, win_buf))
         if len(pending) > 4:  # bound device residency, keep 4 in flight
             drain_one()
+
+    n_rsis = 0
+    tail_bit = 0
+    while n_rsis < want_rsis:
+        ask = min(chunk_rsis, want_rsis - n_rsis)
+        arena = free_arenas.pop() if free_arenas else (
+            native.ScanArena(chunk_rsis * cfg.rsi, 0)
+            if native.get_lib() is not None else None)
+        res = native.scan_blocks(data, ask, max_fs, cfg, wf=0,
+                                 start_bit=tail_bit, arena=arena)
+        if res is None:  # no native library: only possible on first slice
+            fetch_pool.shutdown()
+            fill_pool.shutdown()
+            status, out = _decode_cpu_status(data, cfg, out_size)
+            if part_sink is not None:
+                part_sink(out)
+                return status, b""
+            return status, out
+        recs, cnt, tail_bit = res
+        if cnt == 0:
+            break
+        wf_b = _bucket_wf(cfg, recs, tail_bit)
+        buf = None
+        if win_pool.get(wf_b):
+            cand = win_pool[wf_b].pop()
+            if cand.shape[0] >= max(len(recs["fs_off"]), 1):
+                buf = cand
+            else:
+                win_pool[wf_b].insert(0, cand)
+        fut = fill_pool.submit(native.fill_windows, data, recs["fs_off"],
+                               recs["meta"], wf_b, 1, buf)
+        win_buf = buf  # the fill returns a view of this (or a fresh base)
+        if staged is not None:
+            dispatch_staged()
+        staged = (fut, dict(recs), cnt, arena, wf_b, win_buf)
         n_rsis += cnt
         if cnt < ask:  # truncated / malformed / oversized-FS tail
             break
+    if staged is not None:
+        dispatch_staged()
+    fill_pool.shutdown()
     while pending:
         drain_one()
     for f in fetch_futs:
