@@ -121,6 +121,18 @@ class Config:
         return 0
 
     @property
+    def mask(self):
+        """Low bits_per_sample bits.  Samples are masked to this at
+        INGEST (a deliberate deviation: the reference's accessors never
+        mask, and its emitters then byte-add out-of-range bits into
+        neighbouring fields -- encode.c:61-83's `+=` -- corrupting its
+        own bitstream; masking yields the deterministic stream of the
+        masked input instead, identical across every backend here, and
+        bit-identical to the reference for all in-range input)."""
+        bps = self.bits_per_sample
+        return 0xFFFFFFFF if bps >= 32 else (1 << bps) - 1
+
+    @property
     def samples_per_rsi(self):
         return self.rsi * self.block_size
 

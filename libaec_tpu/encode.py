@@ -35,6 +35,10 @@ def pipeline_fields(B, cfg, x, nb, k_init):
     bs = cfg.block_size
     n_rsi = x.shape[0]
     NB = n_rsi * nb
+    # ingest masking for callers handing raw u32 arrays (Config.mask);
+    # byte-level entries arrive pre-masked, where this fuses to nothing
+    if cfg.bits_per_sample < 32:
+        x = x & u32(cfg.mask)
 
     if cfg.preprocess:
         d, ref_samples = preprocess.delta_map(xp, x, cfg)
@@ -232,7 +236,8 @@ def _jax_chunk_fn_bytes(cfg, n_rsi, nb):
         ns = n_rsi * nb * cfg.block_size
 
         def chunk_bytes(raw_u8, k_init, bit0):
-            x = accessors.bytes_to_samples(jnp, raw_u8, bsz, cfg.msb)
+            x = accessors.bytes_to_samples(jnp, raw_u8, bsz, cfg.msb,
+                                           cfg.mask)
             return inner(x.reshape(n_rsi, ns // n_rsi), k_init, bit0)
 
         fn = _coerce_carries(jax.jit(chunk_bytes))
@@ -462,7 +467,7 @@ def encode_buffer(data, cfg: Config, backend=None, rsis_per_chunk=None,
         run_chunk.k = int(k_dev)
     elif n_full:
         samples = accessors.bytes_to_samples(
-            np, raw[: n_full * S * bsz], bsz, cfg.msb)
+            np, raw[: n_full * S * bsz], bsz, cfg.msb, cfg.mask)
         for start in range(0, n_full, rsis_per_chunk):
             cnt = min(rsis_per_chunk, n_full - start)
             x = samples[start * S:(start + cnt) * S].reshape(cnt, S)
@@ -471,7 +476,7 @@ def encode_buffer(data, cfg: Config, backend=None, rsis_per_chunk=None,
     if rem:
         nb_tail = -(-rem // cfg.block_size)
         tail = accessors.bytes_to_samples(
-            np, raw[n_full * S * bsz:], bsz, cfg.msb)
+            np, raw[n_full * S * bsz:], bsz, cfg.msb, cfg.mask)
         pad = nb_tail * cfg.block_size - rem
         if pad:
             tail = np.concatenate([tail, np.full(pad, tail[-1], np.uint32)])

@@ -106,8 +106,10 @@ def encode_tile_kernel(
 
     # input arrives in natural [blocks, samples] row layout; the
     # samples-on-sublanes transpose happens here in VMEM, saving the HBM
-    # round trip of a separate XLA transpose
-    x = xt_ref[:].T  # u32 [bs, nbT]
+    # round trip of a separate XLA transpose.  Masking to bits_per_sample
+    # mirrors the ingest masking of every other backend (Config.mask) for
+    # callers that hand raw u32 arrays straight to the kernel.
+    x = xt_ref[:].T & bps_mask  # u32 [bs, nbT]
 
     lane = jax.lax.broadcasted_iota(i32, (1, nbT), 1)
     sub = jax.lax.broadcasted_iota(i32, (bs, nbT), 0)

@@ -152,11 +152,17 @@ class Emitter {
 };
 
 // Byte layout -> u32 samples (ops/accessors.bytes_to_samples semantics).
+// Samples are MASKED to bits_per_sample at ingest -- a deliberate
+// deviation: the reference's accessors never mask and its emitters then
+// byte-add out-of-range bits into neighbouring fields (encode.c:61-83's
+// `+=`), corrupting its own bitstream; masking yields the deterministic
+// stream of the masked input, identical across every backend here
+// (Config.mask documents the same for the Python side).
 static void read_samples(const uint8_t* p, size_t n, int bsz, bool msb,
-                         uint32_t* x) {
+                         uint32_t mask, uint32_t* x) {
     switch (bsz) {
         case 1:
-            for (size_t i = 0; i < n; i++) x[i] = p[i];
+            for (size_t i = 0; i < n; i++) x[i] = p[i] & mask;
             break;
         case 2:
             // memcpy+bswap formulation: the byte-combine form defeats
@@ -168,7 +174,7 @@ static void read_samples(const uint8_t* p, size_t n, int bsz, bool msb,
 #if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
                     t = __builtin_bswap16(t);
 #endif
-                    x[i] = t;
+                    x[i] = t & mask;
                 }
             else
                 for (size_t i = 0; i < n; i++) {
@@ -177,18 +183,20 @@ static void read_samples(const uint8_t* p, size_t n, int bsz, bool msb,
 #if __BYTE_ORDER__ == __ORDER_BIG_ENDIAN__
                     t = __builtin_bswap16(t);
 #endif
-                    x[i] = t;
+                    x[i] = t & mask;
                 }
             break;
         case 3:
             if (msb)
                 for (size_t i = 0; i < n; i++)
-                    x[i] = ((uint32_t)p[3 * i] << 16) |
-                           ((uint32_t)p[3 * i + 1] << 8) | p[3 * i + 2];
+                    x[i] = (((uint32_t)p[3 * i] << 16) |
+                            ((uint32_t)p[3 * i + 1] << 8) | p[3 * i + 2]) &
+                           mask;
             else
                 for (size_t i = 0; i < n; i++)
-                    x[i] = ((uint32_t)p[3 * i + 2] << 16) |
-                           ((uint32_t)p[3 * i + 1] << 8) | p[3 * i];
+                    x[i] = (((uint32_t)p[3 * i + 2] << 16) |
+                            ((uint32_t)p[3 * i + 1] << 8) | p[3 * i]) &
+                           mask;
             break;
         default:
             if (msb)
@@ -198,7 +206,7 @@ static void read_samples(const uint8_t* p, size_t n, int bsz, bool msb,
 #if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
                     v = __builtin_bswap32(v);
 #endif
-                    x[i] = v;
+                    x[i] = v & mask;
                 }
             else
                 for (size_t i = 0; i < n; i++) {
@@ -207,7 +215,7 @@ static void read_samples(const uint8_t* p, size_t n, int bsz, bool msb,
 #if __BYTE_ORDER__ == __ORDER_BIG_ENDIAN__
                     v = __builtin_bswap32(v);
 #endif
-                    x[i] = v;
+                    x[i] = v & mask;
                 }
     }
 }
@@ -274,66 +282,13 @@ static inline void delta_map_u64(const uint32_t* x, uint32_t* d, size_t n,
     }
 }
 
-// Reference-exact four-branch map (encode.c:255-309), uint32 wraparound
-// arithmetic throughout.  The branchless theta form below is provably
-// identical only for IN-RANGE samples (values within bits_per_sample);
-// the reference's accessors never mask (encode_accessors.c), so
-// out-of-range bytes still encode deterministically -- this path keeps
-// that garbage-in bit-exactness.
-static void delta_rsi_exact(const uint32_t* x, uint32_t* d, size_t n,
-                            const EncParams& p) {
-    if (!(p.flags & E_FLAG_SIGNED)) {
-        const uint32_t xmax = p.xmax();
-        for (size_t i = 1; i < n; i++) {
-            uint32_t prev = x[i - 1], cur = x[i], dd;
-            if (cur >= prev) {
-                uint32_t D = cur - prev;
-                dd = (D <= prev) ? 2 * D : cur;
-            } else {
-                uint32_t D = prev - cur;
-                dd = (D <= xmax - prev) ? 2 * D - 1 : xmax - cur;
-            }
-            d[i] = dd;
-        }
-    } else {
-        const uint32_t m = (1u << (p.bps - 1)) & 0xFFFFFFFFu;
-        const int32_t sxmax = (int32_t)p.xmax();
-        const int32_t sxmin = (int32_t)p.xmin();
-        for (size_t i = 1; i < n; i++) {
-            int32_t prev = (int32_t)((x[i - 1] ^ m) - m);
-            int32_t cur = (int32_t)((x[i] ^ m) - m);
-            uint32_t dd;
-            if (cur < prev) {
-                uint32_t D = (uint32_t)prev - (uint32_t)cur;
-                dd = (D <= (uint32_t)(sxmax - prev))
-                         ? 2 * D - 1
-                         : (uint32_t)(sxmax - cur);
-            } else {
-                uint32_t D = (uint32_t)cur - (uint32_t)prev;
-                dd = (D <= (uint32_t)(prev - sxmin))
-                         ? 2 * D
-                         : (uint32_t)(cur - sxmin);
-            }
-            d[i] = dd;
-        }
-    }
-}
-
 static void delta_rsi(const uint32_t* x, uint32_t* d, size_t n,
                       const EncParams& p) {
     if (n == 0) return;
     d[0] = 0;
-    // out-of-range samples (bits above bits_per_sample: possible for any
-    // bps not filling its storage width, since reads never mask) take
-    // the reference-exact branch; the vector OR is ~free
-    if (p.bps < 32) {
-        uint32_t orv = 0;
-        for (size_t i = 0; i < n; i++) orv |= x[i];
-        if (orv & ~p.mask()) {
-            delta_rsi_exact(x, d, n, p);
-            return;
-        }
-    }
+    // samples are masked at ingest (read_samples), so the branchless
+    // theta maps below are exact: their equivalence proof needs
+    // xmin <= value <= xmax, which masking guarantees
     if (!(p.flags & E_FLAG_SIGNED)) {
         if (p.bps <= 31)
             // bps<=31: cur-prev fits int32 exactly
@@ -772,7 +727,7 @@ int aectpu_enc_feed(void* sess, const uint8_t* in, size_t n_rsis) {
     const int bsz = s->p.bytes_per_sample();
     for (size_t r = 0; r < n_rsis; r++) {
         read_samples(in + r * S * bsz, S, bsz, s->p.flags & E_FLAG_MSB,
-                     s->x.data());
+                     s->p.mask(), s->x.data());
         s->any = true;
         session_encode_blocks(s, s->p.rsi);
     }
@@ -788,7 +743,7 @@ int aectpu_enc_finish(void* sess, const uint8_t* tail,
     const int bsz = s->p.bytes_per_sample();
     if (tail_samples) {
         read_samples(tail, tail_samples, bsz, s->p.flags & E_FLAG_MSB,
-                     s->x.data());
+                     s->p.mask(), s->x.data());
         unsigned nb = (unsigned)((tail_samples + s->p.bs - 1) / s->p.bs);
         size_t padded = (size_t)nb * s->p.bs;
         for (size_t i = tail_samples; i < padded; i++)
@@ -861,7 +816,8 @@ int aectpu_encode(const uint8_t* in, size_t in_len, uint8_t* out,
     size_t done = 0;
     while (done < n_samples) {
         size_t take = n_samples - done < S ? n_samples - done : S;
-        read_samples(in + done * (size_t)bsz, take, bsz, msb, x.data());
+        read_samples(in + done * (size_t)bsz, take, bsz, msb, p.mask(),
+                     x.data());
         // partial trailing RSI: whole blocks, repeating the last sample
         unsigned nb = (unsigned)((take + bs - 1) / bs);
         size_t padded = (size_t)nb * bs;
@@ -939,7 +895,8 @@ int aectpu_encode_parallel(const uint8_t* in, size_t in_len, uint8_t* out,
         auto do_delta = [&](size_t r, uint32_t* xbuf) {
             size_t done_s = (r0 + r) * S;
             size_t take = n_samples - done_s < S ? n_samples - done_s : S;
-            read_samples(in + done_s * (size_t)bsz, take, bsz, msb, xbuf);
+            read_samples(in + done_s * (size_t)bsz, take, bsz, msb,
+                         p.mask(), xbuf);
             unsigned nb = (unsigned)((take + bs - 1) / bs);
             size_t padded = (size_t)nb * bs;
             for (size_t i = take; i < padded; i++) xbuf[i] = xbuf[take - 1];

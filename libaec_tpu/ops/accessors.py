@@ -7,17 +7,25 @@ instead of per-sample byte loads.
 """
 
 
-def bytes_to_samples(xp, raw_u8, bytes_per_sample, msb):
-    """raw_u8: u8 [n * bytes_per_sample] -> u32 [n]."""
+def bytes_to_samples(xp, raw_u8, bytes_per_sample, msb, mask=None):
+    """raw_u8: u8 [n * bytes_per_sample] -> u32 [n].
+
+    `mask` (cfg.mask) drops storage bits above bits_per_sample at ingest
+    -- see Config.mask for why this deliberately deviates from the
+    reference's unmasked accessors."""
     u32 = xp.uint32
     n = raw_u8.shape[0] // bytes_per_sample
     b = raw_u8.reshape(n, bytes_per_sample).astype(u32)
     if bytes_per_sample == 1:
-        return b[:, 0]
-    order = range(bytes_per_sample) if msb else range(bytes_per_sample - 1, -1, -1)
-    out = xp.zeros(n, dtype=u32)
-    for pos, col in enumerate(order):
-        out = (out << u32(8)) | b[:, col]
+        out = b[:, 0]
+    else:
+        order = range(bytes_per_sample) if msb \
+            else range(bytes_per_sample - 1, -1, -1)
+        out = xp.zeros(n, dtype=u32)
+        for pos, col in enumerate(order):
+            out = (out << u32(8)) | b[:, col]
+    if mask is not None and mask != 0xFFFFFFFF:
+        out = out & u32(mask)
     return out
 
 

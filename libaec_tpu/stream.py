@@ -124,7 +124,8 @@ class _EncState:
             n_samples = len(rest) // bsz
             if n_samples:
                 raw = np.frombuffer(bytes(rest[: n_samples * bsz]), np.uint8)
-                samples = accessors.bytes_to_samples(np, raw, bsz, cfg.msb)
+                samples = accessors.bytes_to_samples(np, raw, bsz, cfg.msb,
+                                                   cfg.mask)
                 nb_tail = -(-n_samples // cfg.block_size)
                 pad = nb_tail * cfg.block_size - n_samples
                 if pad:
@@ -138,7 +139,8 @@ class _EncState:
             if isinstance(item, (bytes, bytearray)):
                 bsz = cfg.bytes_per_sample
                 raw = np.frombuffer(bytes(item), np.uint8)
-                samples = accessors.bytes_to_samples(np, raw, bsz, cfg.msb)
+                samples = accessors.bytes_to_samples(np, raw, bsz, cfg.msb,
+                                                   cfg.mask)
             else:
                 samples = item
             self._run(samples, nb)

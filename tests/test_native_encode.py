@@ -125,28 +125,35 @@ def test_parallel_encode_capacity():
     (12, AEC_DATA_MSB | AEC_DATA_SIGNED | AEC_DATA_PREPROCESS),
     (20, AEC_DATA_MSB | AEC_DATA_PREPROCESS),
 ])
-def test_out_of_range_samples_match_reference(bps, flags):
-    """Samples whose storage bytes carry bits above bits_per_sample are
-    never masked by the reference's accessors (encode_accessors.c), so
-    they still encode deterministically; the fast branchless delta map is
-    only equivalent for in-range values, and must fall back to the
-    reference-exact four-branch map for dirty input."""
+def test_out_of_range_samples_masked_at_ingest(bps, flags):
+    """Storage bytes carrying bits above bits_per_sample are MASKED at
+    ingest by every backend (Config.mask): the encode of dirty input is
+    the encode of the masked input, which the reference encodes
+    identically.  (The reference itself never masks and then byte-ADDS
+    the excess bits into neighbouring output fields, encode.c:61-83 --
+    corrupting its own bitstream; replicating that is neither possible
+    deterministically at word granularity nor desirable.)"""
     import oracle
 
     if not oracle.available():
         pytest.skip("reference build unavailable")
+    from libaec_tpu.encode import encode_buffer
+
     cfg = Config(bps, 32, 8, flags)
     rng = np.random.default_rng(bps)
     n = 5 * cfg.samples_per_rsi + 17
-    # raw storage-width values, deliberately exceeding the bps range
     storage_bits = 8 * cfg.bytes_per_sample
     vals = rng.integers(0, 1 << storage_bits, n, dtype=np.uint64) \
         .astype(np.uint32)
-    data = gen.pack_samples(vals, storage_bits, flags)
-    st_ref, ref = oracle.encode(data, bps, 32, 8, flags)
+    dirty = gen.pack_samples(vals, storage_bits, flags)
+    clean = gen.pack_samples(vals & np.uint32(cfg.mask), storage_bits,
+                             flags)
+    st_ref, ref = oracle.encode(clean, bps, 32, 8, flags)
     assert st_ref == 0
-    st, mine = native.encode(bytes(data), cfg, threads=1)
-    assert st == 0
-    assert mine == ref
-    st, mine_par = native.encode(bytes(data), cfg, threads=3)
-    assert mine_par == ref
+    for enc in (
+        lambda d: native.encode(bytes(d), cfg, threads=1)[1],
+        lambda d: native.encode(bytes(d), cfg, threads=3)[1],
+        lambda d: encode_buffer(bytes(d), cfg),
+    ):
+        assert enc(dirty) == ref
+        assert enc(clean) == ref
