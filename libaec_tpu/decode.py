@@ -105,7 +105,8 @@ def _jax_decode_fn(cfg, n_rsi):
 
         import jax
 
-        from .kernels import decode_pallas, unpredict_pallas
+        from .kernels import decode_fused_pallas, decode_pallas, \
+            unpredict_pallas
         from .ops import bitunpack
         from .ops.unpredict import samples_to_bytes_device, unpredict_rsis
 
@@ -115,12 +116,25 @@ def _jax_decode_fn(cfg, n_rsi):
             and not os.environ.get("LIBAEC_TPU_NO_PALLAS")
         )
         use_pallas = pallas_ok and decode_pallas.kernel_supported(cfg)
+        # the one-kernel decode measured SLOWER than the two-kernel
+        # pipeline at every window width (kernels/decode_fused_pallas.py
+        # docstring has the numbers); opt-in for re-testing only
+        use_one = (pallas_ok
+                   and os.environ.get("LIBAEC_TPU_FUSED_DECODE")
+                   and decode_fused_pallas.fused_supported(cfg, n_rsi))
         use_fused = pallas_ok and unpredict_pallas.fused_supported(
             cfg, n_rsi)
         use_up_pallas = pallas_ok and unpredict_pallas.kernel_supported(
             cfg, n_rsi)
 
         def run(win, fs_bit, lsb_rel, meta, ref_sample):
+            if use_one:
+                # the whole decode in ONE kernel -- payload parse,
+                # inverse predictor and byte layout -- with no [NB, bs]
+                # delta intermediate through HBM
+                return decode_fused_pallas.decode_unpredict_swizzle_pallas(
+                    cfg, win, fs_bit, lsb_rel, meta, ref_sample,
+                    n_rsi=n_rsi)
             deltas = bitunpack.decode_blocks(
                 cfg, win, fs_bit, lsb_rel, meta, ref_sample,
                 use_pallas=use_pallas)

@@ -190,3 +190,39 @@ def test_unpredict_pallas_matches_xla_tpu():
     got = np.asarray(jax.jit(
         lambda d: unpredict_pallas.unpredict_rsis_pallas(cfg, d))(deltas))
     assert (got == ref).all()
+
+
+def test_one_kernel_decode_matches():
+    """The one-kernel decode experiment (kernels/decode_fused_pallas.py,
+    opt-in via LIBAEC_TPU_FUSED_DECODE) must stay bit-exact across
+    widths/signs and bucketed window widths -- it documents the only
+    Mosaic-legal fusion layout found, so its correctness is worth
+    pinning even while the two-kernel pipeline outruns it."""
+    from libaec_tpu.decode import scan_chunk_bucketed, scan_record_arrays
+    from libaec_tpu.kernels import decode_fused_pallas as DF
+
+    for bps, bs, rsi, flags, kind in [
+        (16, 64, 256, AEC_DATA_MSB | AEC_DATA_PREPROCESS, "lowentropy"),
+        (8, 16, 64, AEC_DATA_PREPROCESS, "midentropy"),
+        (13, 32, 128, AEC_DATA_SIGNED | AEC_DATA_MSB | AEC_DATA_PREPROCESS,
+         "lowentropy"),
+        (32, 64, 16, AEC_DATA_MSB | AEC_DATA_PREPROCESS, "lowentropy"),
+        (16, 64, 256, AEC_DATA_MSB, "midentropy"),
+    ]:
+        cfg = Config(bps, bs, rsi, flags)
+        n_rsi = 128
+        if not DF.fused_supported(cfg, n_rsi):
+            continue
+        rng = np.random.default_rng(bps + rsi)
+        vals = gen.gen_values(rng, n_rsi * cfg.samples_per_rsi, bps,
+                              cfg.signed, kind)
+        raw = gen.pack_samples(vals, bps, flags)
+        st, comp = native.encode(bytes(raw), cfg)
+        assert st == 0
+        recs, cnt, _tail, _wf = scan_chunk_bucketed(comp, n_rsi, cfg)
+        assert cnt == n_rsi
+        arrs = scan_record_arrays(recs)
+        out = DF.decode_unpredict_swizzle_pallas(
+            cfg, *map(np.asarray, arrs), n_rsi=n_rsi, interpret=True)
+        got = np.asarray(out).ravel().view(np.uint8)[: len(raw)].tobytes()
+        assert got == bytes(raw), (bps, bs, rsi, flags, kind)
