@@ -17,13 +17,18 @@
 // Exported under the reference's names; see libaec_compat.h.
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 // native codec entry points (aectpu_native.cpp / encoder.cpp)
 extern "C" {
 int aectpu_encode(const uint8_t*, size_t, uint8_t*, size_t, size_t*,
                   unsigned, unsigned, unsigned, unsigned);
+int aectpu_encode_parallel(const uint8_t*, size_t, uint8_t*, size_t,
+                           size_t*, unsigned, unsigned, unsigned, unsigned,
+                           int);
 int aectpu_decode(const uint8_t*, size_t, uint8_t*, size_t, size_t*,
                   unsigned, unsigned, unsigned, unsigned);
 int aectpu_decode_tail(const uint8_t*, size_t, uint64_t, uint8_t*, size_t,
@@ -85,9 +90,30 @@ struct aec_stream {
 
 int aec_buffer_encode(struct aec_stream* strm) {
     size_t written = 0;
-    int st = aectpu_encode(strm->next_in, strm->avail_in, strm->next_out,
-                           strm->avail_out, &written, strm->bits_per_sample,
-                           strm->block_size, strm->rsi, strm->flags);
+    // multi-MiB one-shots take the parallel encoder (bit-identical by
+    // construction; proven under TSAN); small buffers and callers that
+    // dislike threads (AECTPU_THREADS=1) stay on the serial path
+    int threads = 1;
+    if (strm->avail_in >= (8u << 20)) {
+        const char* env = std::getenv("AECTPU_THREADS");
+        long want = env ? std::strtol(env, nullptr, 10) : 0;
+        if (env && want >= 1) {
+            threads = (int)(want > 64 ? 64 : want);
+        } else if (!env) {
+            unsigned hw = std::thread::hardware_concurrency();
+            threads = (int)(hw > 8 ? 8 : (hw ? hw : 1));
+        }
+    }
+    int st =
+        threads > 1
+            ? aectpu_encode_parallel(
+                  strm->next_in, strm->avail_in, strm->next_out,
+                  strm->avail_out, &written, strm->bits_per_sample,
+                  strm->block_size, strm->rsi, strm->flags, threads)
+            : aectpu_encode(strm->next_in, strm->avail_in, strm->next_out,
+                            strm->avail_out, &written,
+                            strm->bits_per_sample, strm->block_size,
+                            strm->rsi, strm->flags);
     if (st == A_CONF_ERROR) return st;
     size_t consumed = strm->avail_in;
     strm->next_in += consumed;

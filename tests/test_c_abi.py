@@ -366,3 +366,26 @@ def test_streaming_flush_tail_matches_reference_on_garbage():
     # 3 scanned RSIs + a >1-RSI decoded tail: the old one-RSI flush cap
     # could emit at most 4 RSIs + slack
     assert len(got) > 4 * cfg.rsi_len_bytes + 32
+
+
+def test_buffer_encode_large_routes_parallel():
+    """aec_buffer_encode on a multi-MiB buffer (the parallel-encoder
+    route) must be byte-identical to the small-buffer serial path."""
+    import ctypes as ct
+
+    lib = _lib()
+    flags = AEC_DATA_MSB | AEC_DATA_PREPROCESS
+    cfg = Config(16, 64, 256, flags)
+    rng = np.random.default_rng(77)
+    n = (9 << 20) // 2  # 9 MiB of samples: over the 8 MiB routing bound
+    data = _data(cfg, n, seed=77)
+    expect = encode_buffer(bytes(data), cfg)
+
+    outb = ct.create_string_buffer(len(data) + (1 << 20))
+    s = AecStream(
+        next_in=ct.cast(ct.c_char_p(bytes(data)), ct.c_void_p),
+        avail_in=len(data),
+        next_out=ct.cast(outb, ct.c_void_p), avail_out=len(outb.raw),
+        bits_per_sample=16, block_size=64, rsi=256, flags=flags)
+    assert lib.aec_buffer_encode(ct.byref(s)) == 0
+    assert outb.raw[: s.total_out] == expect
