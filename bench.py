@@ -208,7 +208,10 @@ def bench_decode_device(comp, raw):
     wpool = {}
     fillex = ThreadPoolExecutor(1)
 
-    def fill_one(recs, wb):
+    def fill_one(recs, tb):
+        # bucket + fill together, off the serial walk chain (mirrors
+        # decode_buffer_tpu's fill_job)
+        wb = _bucket_wf(CFG, recs, tb)
         buf = wpool[wb].pop() if wpool.get(wb) else None
         win = native.fill_windows(comp, recs["fs_off"], recs["meta"], wb,
                                   threads=1, win=buf)
@@ -222,10 +225,9 @@ def bench_decode_device(comp, raw):
             recs, n_ok, tail2 = native.scan_blocks(
                 comp, n_rsis, max_fs, CFG, wf=0, arena=arena2[i % 2])
             assert n_ok == n_rsis
-            wb = _bucket_wf(CFG, recs, tail2)
             if prev is not None:
                 prev.result()
-            prev = fillex.submit(fill_one, dict(recs), wb)
+            prev = fillex.submit(fill_one, dict(recs), tail2)
         prev.result()
         return time.time() - t0
 
@@ -275,10 +277,9 @@ def bench_decode_device(comp, raw):
         for i in range(n):
             recs, _n, tail2 = native.scan_blocks(
                 comp, n_rsis, max_fs, CFG, wf=0, arena=arena2[i % 2])
-            wb = _bucket_wf(CFG, recs, tail2)
             if prev is not None:
                 prev.result()
-            prev = fillex.submit(fill_one, dict(recs), wb)
+            prev = fillex.submit(fill_one, dict(recs), tail2)
         if prev is not None:
             prev.result()
         np.asarray(res)  # device sync
@@ -324,7 +325,8 @@ def bench_decode_scan_pad(raw):
     wpool = {}
     fillex = ThreadPoolExecutor(1)
 
-    def fill_one(recs, wb):
+    def fill_one(recs, tb):
+        wb = _bucket_wf(cfg_pad, recs, tb)
         buf = wpool[wb].pop() if wpool.get(wb) else None
         win = native.fill_windows(comp_pad, recs["fs_off"], recs["meta"],
                                   wb, threads=1, win=buf)
@@ -339,10 +341,9 @@ def bench_decode_scan_pad(raw):
                 comp_pad, n_rsis, max_fs, cfg_pad, wf=0,
                 arena=arenas[i % 2])
             assert n_ok == n_rsis
-            wb = _bucket_wf(cfg_pad, recs, tail2)
             if prev is not None:
                 prev.result()
-            prev = fillex.submit(fill_one, dict(recs), wb)
+            prev = fillex.submit(fill_one, dict(recs), tail2)
         prev.result()
         return time.time() - t0
 

@@ -304,9 +304,24 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
     fill_pool = ThreadPoolExecutor(1)
     staged = None  # (fill_future, recs, cnt, arena, wf_b, win_buf)
 
+    def fill_job(recs, tb):
+        # bucket + fill off the serial walk chain: both depend only on
+        # this chunk's records
+        wf_b = _bucket_wf(cfg, recs, tb)
+        buf = None
+        if win_pool.get(wf_b):
+            cand = win_pool[wf_b].pop()
+            if cand.shape[0] >= max(len(recs["fs_off"]), 1):
+                buf = cand
+            else:
+                win_pool[wf_b].insert(0, cand)
+        win = native.fill_windows(data, recs["fs_off"], recs["meta"],
+                                  wf_b, 1, buf)
+        return wf_b, win
+
     def dispatch_staged():
-        fut, recs, cnt, arena, wf_b, _buf = staged
-        win = fut.result()
+        fut, recs, cnt, arena = staged
+        wf_b, win = fut.result()
         recs["win"] = win
         win_buf = win.base if win.base is not None else win
         arrs = scan_record_arrays(recs)
@@ -344,20 +359,11 @@ def decode_buffer_tpu(data, cfg: Config, out_size, chunk_rsis=None,
         recs, cnt, tail_bit = res
         if cnt == 0:
             break
-        wf_b = _bucket_wf(cfg, recs, tail_bit)
-        buf = None
-        if win_pool.get(wf_b):
-            cand = win_pool[wf_b].pop()
-            if cand.shape[0] >= max(len(recs["fs_off"]), 1):
-                buf = cand
-            else:
-                win_pool[wf_b].insert(0, cand)
-        fut = fill_pool.submit(native.fill_windows, data, recs["fs_off"],
-                               recs["meta"], wf_b, 1, buf)
-        win_buf = buf  # the fill returns a view of this (or a fresh base)
+        recs = dict(recs)
+        fut = fill_pool.submit(fill_job, recs, tail_bit)
         if staged is not None:
             dispatch_staged()
-        staged = (fut, dict(recs), cnt, arena, wf_b, win_buf)
+        staged = (fut, recs, cnt, arena)
         n_rsis += cnt
         if cnt < ask:  # truncated / malformed / oversized-FS tail
             break
